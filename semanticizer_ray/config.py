@@ -1,0 +1,118 @@
+"""Run configuration for the entity-resolution pipeline.
+
+The reference drives its processor chain from a YAML config +
+per-request query params (``semanticizer/config.py``; SURVEY.md S3/M11).
+Here the whole run is parameterized by one frozen dataclass that is
+snapshotted into every checkpoint manifest (lineage), so a resumed run can
+verify it is continuing the same logical job.
+
+All randomness in the engine derives from ``seed`` — MinHash permutations,
+salting, generator perturbations — so reruns are byte-deterministic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class NormalizeConfig:
+    """Text-normalization flags (reference: ``wpm/utils.py::normalize``).
+
+    The reference folds dashes to spaces, strips accents via NFKD, lowercases
+    and collapses whitespace; each step is a config flag. Same semantics here.
+    """
+
+    dash_to_space: bool = True
+    strip_accents: bool = True
+    lowercase: bool = True
+    collapse_whitespace: bool = True
+
+
+@dataclass(frozen=True)
+class AnchorConfig:
+    """Anchor matching / sense expansion (reference: ``processors/semanticize.py``)."""
+
+    max_ngram: int = 5  # longest anchor in words
+    # reference ``Semanticizer.semanticize``: drop labels whose
+    # keyphraseness/linkProbability is below threshold
+    min_link_probability: float = 0.0
+    # reference config ``sense_probability_threshold``
+    min_sense_probability: float = 0.0
+    # keep top-1 candidate per (conv, sense): the "unique" filter
+    unique_per_sense: bool = False
+
+
+@dataclass(frozen=True)
+class BlockingConfig:
+    """Stage-1 blocking: MinHash-LSH over char shingles + anchor keys."""
+
+    shingle_k: int = 5  # char n-gram size for shingles
+    num_hashes: int = 128  # MinHash signature length
+    num_bands: int = 16  # LSH bands (rows per band = num_hashes // num_bands)
+    # conversations whose concatenated normalized text is shorter than this
+    # still get at least one shingle (the padded text itself)
+    max_profile_chars: int = 4000  # cap on text snippet carried into scoring
+    # anchor-derived blocking: each conversation also emits its top-K rarest
+    # matched anchors as blocking keys (complements LSH for short texts)
+    anchor_keys_per_conv: int = 4
+    # hot-key handling: blocks larger than this get salted into sub-blocks
+    max_block_size: int = 64
+    # absolute guard: a (possibly salted) block never generates more pairs
+    # than this; overflow is counted and logged, never silent
+    max_pairs_per_block: int = 4096
+
+
+@dataclass(frozen=True)
+class ScoringConfig:
+    """Stage-2 pairwise scoring weights + match threshold.
+
+    Linear model over pair features (reference analog: the sklearn
+    re-scorer ``processors/learning.py``, replaced by explicit weights —
+    SURVEY.md F5/St2). Weights can be refit from labeled pairs offline.
+    """
+
+    weights: dict[str, float] = field(
+        default_factory=lambda: {
+            "jaccard_est": 1.0,
+            "jaro_winkler": 1.0,
+            "lev_ratio": 1.0,
+            "anchor_overlap": 0.5,
+            "len_ratio": 0.25,
+        }
+    )
+    bias: float = 0.0
+    threshold: float = 0.55  # score >= threshold → is_match
+
+
+@dataclass(frozen=True)
+class ClusterConfig:
+    """Stage-3 transitive clustering (distributed min-label propagation)."""
+
+    max_rounds: int = 50
+    # partition-local union-find contraction before the first global round
+    local_contract: bool = True
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    seed: int = 42
+    normalize: NormalizeConfig = field(default_factory=NormalizeConfig)
+    anchor: AnchorConfig = field(default_factory=AnchorConfig)
+    blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    scoring: ScoringConfig = field(default_factory=ScoringConfig)
+    cluster: ClusterConfig = field(default_factory=ClusterConfig)
+    # execution knobs
+    batch_size: int = 4096
+    actor_concurrency: int = 4
+
+    def config_hash(self) -> str:
+        """Stable hash of the full config, recorded in lineage manifests."""
+        blob = json.dumps(dataclasses.asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = EngineConfig()

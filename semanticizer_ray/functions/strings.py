@@ -1,0 +1,101 @@
+"""Pairwise string similarity metrics: Jaro-Winkler, Levenshtein ratio.
+
+These are NOT in the reference (semanticizer scores candidates with corpus
+statistics, not edit distance — SURVEY.md §2.1 "String/math"); the north_rule
+adds them for stage-2 pairwise scoring. Pure Python/NumPy, no external deps.
+
+Cost model: both metrics are O(n·m) per pair, so callers MUST cap input
+length (``cap`` argument; the pipeline caps conversation profiles at
+``BlockingConfig.max_profile_chars`` and scores edit metrics on a shorter
+prefix — the full-text signal comes from the MinHash Jaccard estimate, which
+is O(signature) per pair). The Levenshtein DP is vectorized one row at a
+time with numpy so the Python-level loop is O(n), not O(n·m).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def levenshtein_ratio(a: str, b: str, cap: int = 256) -> float:
+    """1 - edit_distance/max_len in [0,1]; inputs truncated to ``cap`` chars."""
+    a, b = a[:cap], b[:cap]
+    if a == b:
+        return 1.0
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return 0.0
+    if n < m:  # keep the numpy-vectorized dimension the long one
+        a, b, n, m = b, a, m, n
+    bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.arange(m + 1, dtype=np.int32)
+    cur = np.empty(m + 1, dtype=np.int32)
+    for i, ca in enumerate(a, 1):
+        cur[0] = i
+        sub = prev[:-1] + (bv != ord(ca))
+        ins = prev[1:] + 1
+        np.minimum(sub, ins, out=cur[1:])
+        # deletions need a sequential scan; emulate with cummin trick:
+        # cur[j] = min(cur[j], cur[j-1]+1)  ==  cummin over (cur[j] - j) + j
+        np.minimum.accumulate(cur - np.arange(m + 1), out=cur)
+        cur += np.arange(m + 1)
+        prev, cur = cur, prev
+    dist = int(prev[m])
+    return 1.0 - dist / max(n, m)
+
+
+def _jaro(a: str, b: str) -> float:
+    n, m = len(a), len(b)
+    if n == 0 and m == 0:
+        return 1.0
+    if n == 0 or m == 0:
+        return 0.0
+    window = max(n, m) // 2 - 1
+    if window < 0:
+        window = 0
+    b_taken = np.zeros(m, dtype=bool)
+    a_match: list[str] = []
+    b_match_idx: list[int] = []
+    for i, ca in enumerate(a):
+        lo, hi = max(0, i - window), min(m, i + window + 1)
+        for j in range(lo, hi):
+            if not b_taken[j] and b[j] == ca:
+                b_taken[j] = True
+                a_match.append(ca)
+                b_match_idx.append(j)
+                break
+    k = len(a_match)
+    if k == 0:
+        return 0.0
+    b_match = [b[j] for j in sorted(b_match_idx)]
+    transpositions = sum(x != y for x, y in zip(a_match, b_match)) // 2
+    return (k / n + k / m + (k - transpositions) / k) / 3.0
+
+
+def jaro_winkler(a: str, b: str, cap: int = 128, prefix_weight: float = 0.1) -> float:
+    """Jaro-Winkler similarity in [0,1]; inputs truncated to ``cap`` chars."""
+    a, b = a[:cap], b[:cap]
+    j = _jaro(a, b)
+    if j <= 0.7:
+        return j
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca != cb:
+            break
+        prefix += 1
+    return j + prefix * prefix_weight * (1.0 - j)
+
+
+def batch_pair_scores(
+    left: np.ndarray, right: np.ndarray, lev_cap: int = 256, jw_cap: int = 128
+) -> tuple[np.ndarray, np.ndarray]:
+    """(jaro_winkler, levenshtein_ratio) for aligned arrays of string pairs."""
+    n = len(left)
+    jw = np.empty(n, dtype=np.float64)
+    lv = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        a = left[i] or ""
+        b = right[i] or ""
+        jw[i] = jaro_winkler(a, b, cap=jw_cap)
+        lv[i] = levenshtein_ratio(a, b, cap=lev_cap)
+    return jw, lv

@@ -1,0 +1,39 @@
+"""Session-scoped Ray fixture: init ONCE per pytest session."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def fixture_dir(tmp_path_factory):
+    """Small deterministic fixture set shared across tests."""
+    from semanticizer_ray.gen import write_fixture_set
+
+    d = tmp_path_factory.mktemp("fixtures")
+    paths = write_fixture_set(str(d), n_convs=200, seed=42)
+    return paths

@@ -1,0 +1,73 @@
+"""Unit tests for Jaro-Winkler / Levenshtein (SURVEY.md stage-2 metrics)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from semanticizer_ray.functions.strings import (
+    batch_pair_scores,
+    jaro_winkler,
+    levenshtein_ratio,
+)
+
+
+def _lev_naive(a: str, b: str) -> int:
+    n, m = len(a), len(b)
+    d = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        d[i][0] = i
+    for j in range(m + 1):
+        d[0][j] = j
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            d[i][j] = min(
+                d[i - 1][j] + 1,
+                d[i][j - 1] + 1,
+                d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return d[n][m]
+
+
+def test_levenshtein_known():
+    assert levenshtein_ratio("kitten", "sitting") == pytest.approx(1 - 3 / 7)
+    assert levenshtein_ratio("abc", "abc") == 1.0
+    assert levenshtein_ratio("", "abc") == 0.0
+    assert levenshtein_ratio("abc", "") == 0.0
+    assert levenshtein_ratio("", "") == 1.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=20), st.text(max_size=20))
+def test_levenshtein_matches_naive(a, b):
+    want = 1.0 if a == b else (1 - _lev_naive(a, b) / max(len(a), len(b)))
+    assert levenshtein_ratio(a, b) == pytest.approx(want)
+
+
+def test_jaro_winkler_known():
+    # classic textbook values
+    assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-4)
+    assert jaro_winkler("DIXON", "DICKSONX") == pytest.approx(0.8133, abs=1e-3)
+    assert jaro_winkler("abc", "abc") == 1.0
+    assert jaro_winkler("", "") == 1.0
+    assert jaro_winkler("abc", "xyz") == 0.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=30), st.text(max_size=30))
+def test_symmetry_and_range(a, b):
+    jw1, jw2 = jaro_winkler(a, b), jaro_winkler(b, a)
+    assert jw1 == pytest.approx(jw2)
+    assert 0.0 <= jw1 <= 1.0
+    lv1, lv2 = levenshtein_ratio(a, b), levenshtein_ratio(b, a)
+    assert lv1 == pytest.approx(lv2)
+    assert 0.0 <= lv1 <= 1.0
+
+
+def test_batch_pair_scores():
+    left = np.array(["kitten", "abc", None], dtype=object)
+    right = np.array(["sitting", "abc", "x"], dtype=object)
+    jw, lv = batch_pair_scores(left, right)
+    assert lv[1] == 1.0 and jw[1] == 1.0
+    assert lv[0] == pytest.approx(1 - 3 / 7)
+    assert lv[2] == 0.0
