@@ -1,0 +1,231 @@
+"""Stage T9: transitive clustering — distributed min-label propagation.
+
+Connected components over the match-edge graph (north_rule stage 3), with
+canonical cluster ids = min conv_id in the component:
+
+1. partition-local contraction: union-find INSIDE each edge batch
+   (``map_batches``, no shuffle) rewrites edges to (node → local root),
+   collapsing cliques/stars — typical duplicate clusters — to depth 1
+   before any global work;
+2. iterated rounds to a fixed point; each round is two node-keyed
+   ``groupby`` exchanges (a portable bucket join — deliberately NOT
+   ``Dataset.join``, which in ray 2.49 mishandles empty partitions and
+   mixed block types inside composed plans):
+   a. scatter: group (label row of node k) with (edge rows keyed by k) →
+      emit (neighbor, label_k) messages + the (k, label_k) self row;
+   b. gather: ``groupby(node)`` over messages+self rows → new label =
+      min, plus a ``changed`` flag summed on the driver for the
+      convergence check. Labels only decrease → changed == 0 is a true
+      fixed point.
+
+Round complexity is O(graph diameter) — after local contraction, real
+duplicate clusters (small, dense) converge in 1–2 rounds; ``max_rounds``
+bounds pathological chains. Each round materializes only the label table
+(one short row per node), never the edges.
+
+A pure-Python ``unionfind_reference`` provides the oracle for tests
+(SURVEY.md §5.4 property tests) and for provably tiny edge sets.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..config import EngineConfig
+
+CLUSTER_SCHEMA = pa.schema([("conv_id", pa.string()), ("cluster_id", pa.string())])
+
+
+class _UnionFind:
+    __slots__ = ("parent",)
+
+    def __init__(self):
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        p = self.parent.setdefault(x, x)
+        if p == x:
+            return x
+        root = x
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[x] != root:  # path compression
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        lo, hi = (ra, rb) if ra < rb else (rb, ra)  # min-id wins → canonical
+        self.parent[hi] = lo
+
+
+def unionfind_reference(
+    edges: list[tuple[str, str]], nodes: list[str] | None = None
+) -> dict[str, str]:
+    """Driver-side exact components (test oracle / tiny graphs)."""
+    uf = _UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    out = {}
+    for n in set([x for e in edges for x in e]) | set(nodes or []):
+        out[n] = uf.find(n)
+    return out
+
+
+def local_contract(edges: rd.Dataset) -> rd.Dataset:
+    """Union-find within each batch → (src, dst=local root) edges.
+
+    Preserves global connectivity (each batch's spanning structure is kept)
+    while collapsing dense local structure; output has ≤ one edge per
+    distinct node per batch.
+    """
+
+    def contract(batch: pa.Table) -> pa.Table:
+        uf = _UnionFind()
+        for a, b in zip(batch["conv_a"].to_pylist(), batch["conv_b"].to_pylist()):
+            uf.union(a, b)
+        src, dst = [], []
+        for n in list(uf.parent):
+            r = uf.find(n)
+            if r != n:
+                src.append(n)
+                dst.append(r)
+        return pa.table(
+            {
+                "conv_a": pa.array(src, pa.string()),
+                "conv_b": pa.array(dst, pa.string()),
+            }
+        )
+
+    return edges.map_batches(contract, batch_format="pyarrow", batch_size=65536)
+
+
+def cluster_edges(
+    edges: rd.Dataset,
+    all_nodes: rd.Dataset | None,
+    cfg: EngineConfig,
+    num_partitions: int = 16,  # kept for API symmetry; groupby manages partitions
+) -> rd.Dataset:
+    """Match edges (conv_a, conv_b[, is_match]) → (conv_id, cluster_id).
+
+    ``all_nodes``: Dataset with a ``conv_id`` column covering every record
+    (singletons become their own cluster); None → nodes = edge endpoints.
+    """
+    schema = edges.schema(fetch_if_missing=True)
+    if schema is not None and "is_match" in schema.names:
+        edges = edges.map_batches(
+            lambda t: t.filter(t["is_match"]), batch_format="pyarrow"
+        )
+    edges = edges.select_columns(["conv_a", "conv_b"])
+    if cfg.cluster.local_contract:
+        edges = local_contract(edges)
+
+    # symmetric adjacency keyed by the node whose label will be scattered:
+    # row (key=k, other=n) means "when k's label updates, tell n".
+    def to_sym(batch: pa.Table) -> pa.Table:
+        a = batch["conv_a"].combine_chunks()
+        b = batch["conv_b"].combine_chunks()
+        return pa.table(
+            {
+                "key": pa.concat_arrays([a, b]),
+                "other": pa.concat_arrays([b, a]),
+                "label": pa.nulls(2 * batch.num_rows, pa.string()),
+                "kind": pa.array(["e"] * (2 * batch.num_rows), pa.string()),
+            }
+        )
+
+    sym = edges.map_batches(to_sym, batch_format="pyarrow").materialize()
+
+    # initial labels: every node labels itself (deduped)
+    if all_nodes is not None:
+        label_src = all_nodes.select_columns(["conv_id"])
+
+        def init_rows(batch: pa.Table) -> pa.Table:
+            ids = batch["conv_id"].combine_chunks()
+            return pa.table({"node": ids, "label": ids})
+
+        node_rows = label_src.map_batches(init_rows, batch_format="pyarrow")
+    else:
+
+        def edge_nodes(batch: pa.Table) -> pa.Table:
+            ids = batch["key"].combine_chunks()
+            return pa.table({"node": ids, "label": ids})
+
+        node_rows = sym.map_batches(edge_nodes, batch_format="pyarrow")
+
+    def dedup_first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    labels = (
+        node_rows.groupby("node").map_groups(dedup_first, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def label_to_scatter(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["node"].combine_chunks(),
+                "other": pa.nulls(n, pa.string()),
+                "label": batch["label"].combine_chunks(),
+                "kind": pa.array(["l"] * n, pa.string()),
+            }
+        )
+
+    def scatter(group: pd.DataFrame) -> pd.DataFrame:
+        """Group for key k: its label row + its adjacency rows → messages."""
+        lab_rows = group.loc[group["kind"] == "l", "label"]
+        if len(lab_rows) == 0:  # node absent from labels (cannot happen)
+            return pd.DataFrame({"node": [], "label": [], "is_current": []})
+        lab = lab_rows.iloc[0]
+        key = group["key"].iloc[0]
+        nbrs = group.loc[group["kind"] == "e", "other"]
+        return pd.DataFrame(
+            {
+                "node": list(nbrs) + [key],
+                "label": [lab] * (len(nbrs) + 1),
+                "is_current": [False] * len(nbrs) + [True],
+            }
+        )
+
+    def gather(group: pd.DataFrame) -> pd.DataFrame:
+        new = group["label"].min()
+        cur = group.loc[group["is_current"], "label"].iloc[0]
+        return pd.DataFrame(
+            {
+                "node": [group["node"].iloc[0]],
+                "label": [new],
+                "changed": [int(new < cur)],
+            }
+        )
+
+    for _round in range(cfg.cluster.max_rounds):
+        scat_src = sym.union(
+            labels.map_batches(label_to_scatter, batch_format="pyarrow")
+        )
+        msgs = scat_src.groupby("key").map_groups(scatter, batch_format="pandas")
+        stepped = (
+            msgs.groupby("node")
+            .map_groups(gather, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = stepped.sum("changed")
+        labels = stepped.select_columns(["node", "label"]).materialize()
+        if not changed:
+            break
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch["node"].combine_chunks(),
+                "cluster_id": batch["label"].combine_chunks(),
+            }
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow")

@@ -1,0 +1,175 @@
+"""Anchor ("label") dictionary: build job + in-actor lookup structure.
+
+Reference data model D3/D4 (SURVEY.md §1.1): per label —
+``linkOccCount, linkDocCount, textOccCount, textDocCount`` and a sense list
+``{sense_id → (occ, doc, from_title, from_redirect)}``, keyed by a
+normalization index norm(label) → raw labels
+(``semanticizer/wpm/load.py :: WpmLoader.load_labels``,
+``semanticizer/wpm/data.py :: WpmData.get_entity_data / get_sense_data``).
+
+Scores, with the reference's formulas (``processors/semanticize.py``):
+- link_probability (keyphraseness) = link_doc / text_doc
+- prior_probability (commonness)   = sense_occ / link_occ
+- sense_probability                = sense_doc / link_doc
+
+Architectural inversion vs the reference (SURVEY.md St1): instead of a
+shared Redis hit per n-gram lookup, the dictionary is a Parquet artifact
+built once by a Ray aggregation job and loaded into each matcher actor's
+``__init__`` — zero RPC per lookup.
+
+Build shape (scale notes): per-batch partial aggregation first collapses the
+corpus to distinct ``(label, sense_id, doc_id) → occ`` rows (the shuffle
+moves counts, not raw occurrences), then ONE ``groupby("label")`` computes
+exact distinct-doc stats and the sense list per label inside ``map_groups``.
+A label's group is bounded by its distinct (sense, doc) pairs; the dict
+build is the offline-artifact job (the reference outsourced its equivalent
+to Wikipedia Miner on Hadoop — SURVEY.md A1), so one label-keyed shuffle is
+the right trade.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..config import EngineConfig, NormalizeConfig
+from ..functions.normalize import normalize_text
+
+SENSE_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("sense_id", pa.int64()),
+            ("occ", pa.int64()),
+            ("doc", pa.int64()),
+            ("from_title", pa.bool_()),
+            ("from_redirect", pa.bool_()),
+        ]
+    )
+)
+
+DICT_SCHEMA = pa.schema(
+    [
+        ("label", pa.string()),
+        ("norm", pa.string()),
+        ("link_occ", pa.int64()),
+        ("link_doc", pa.int64()),
+        ("text_occ", pa.int64()),
+        ("text_doc", pa.int64()),
+        ("senses", SENSE_TYPE),
+    ]
+)
+
+
+def build_anchor_dict(corpus: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
+    """T4: link corpus (FIXTURES.md F3) → anchor dict rows (F4 schema)."""
+    ncfg = cfg.normalize
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # collapse within-batch to (label, sense_id, doc_id) partial counts
+        g = (
+            batch.groupby(["label", "sense_id", "doc_id"], sort=False)
+            .agg(
+                occ=("doc_id", "size"),
+                from_title=("from_title", "any"),
+                from_redirect=("from_redirect", "any"),
+            )
+            .reset_index()
+        )
+        return g
+
+    partials = corpus.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        label = group["label"].iloc[0]
+        text_occ = int(group["occ"].sum())
+        text_doc = int(group["doc_id"].nunique())
+        linked = group[group["sense_id"] >= 0]
+        link_occ = int(linked["occ"].sum())
+        link_doc = int(linked["doc_id"].nunique())
+        senses = []
+        if link_occ > 0:
+            sg = linked.groupby("sense_id", sort=True).agg(
+                occ=("occ", "sum"),
+                doc=("doc_id", "nunique"),
+                from_title=("from_title", "any"),
+                from_redirect=("from_redirect", "any"),
+            )
+            senses = [
+                {
+                    "sense_id": int(sid),
+                    "occ": int(r.occ),
+                    "doc": int(r.doc),
+                    "from_title": bool(r.from_title),
+                    "from_redirect": bool(r.from_redirect),
+                }
+                for sid, r in sg.iterrows()
+            ]
+        return pd.DataFrame(
+            {
+                "label": [label],
+                "norm": [normalize_text(label, ncfg)],
+                "link_occ": [link_occ],
+                "link_doc": [link_doc],
+                "text_occ": [text_occ],
+                "text_doc": [text_doc],
+                "senses": [senses],
+            }
+        )
+
+    return partials.groupby("label").map_groups(finalize, batch_format="pandas")
+
+
+class AnchorDict:
+    """In-memory lookup: norm(ngram) → candidate entries with scores.
+
+    Loaded once per matcher/scorer actor (``__init__``), queried per n-gram
+    with plain dict gets. Mirrors ``WpmData.normalized_entities_exist /
+    get_all_entities / get_entity_data / get_sense_data`` without the KV hop.
+    """
+
+    def __init__(self, table: pa.Table, min_link_probability: float = 0.0):
+        self.by_norm: dict[str, list[dict]] = {}
+        self.max_words = 1
+        labels = table["label"].to_pylist()
+        norms = table["norm"].to_pylist()
+        link_occ = table["link_occ"].to_pylist()
+        link_doc = table["link_doc"].to_pylist()
+        text_occ = table["text_occ"].to_pylist()
+        text_doc = table["text_doc"].to_pylist()
+        senses = table["senses"].to_pylist()
+        for i in range(table.num_rows):
+            lp = link_doc[i] / text_doc[i] if text_doc[i] else 0.0
+            if lp < min_link_probability:
+                continue
+            entry = {
+                "label": labels[i],
+                "link_occ": link_occ[i],
+                "link_doc": link_doc[i],
+                "text_occ": text_occ[i],
+                "text_doc": text_doc[i],
+                "link_probability": lp,
+                "senses": senses[i] or [],
+            }
+            self.by_norm.setdefault(norms[i], []).append(entry)
+            self.max_words = max(self.max_words, len(norms[i].split()))
+
+    @classmethod
+    def from_parquet(cls, path: str, **kw) -> "AnchorDict":
+        import pyarrow.parquet as pq
+
+        return cls(pq.read_table(path), **kw)
+
+    def lookup(self, norm_ngram: str) -> list[dict]:
+        return self.by_norm.get(norm_ngram, [])
+
+    def __len__(self) -> int:
+        return len(self.by_norm)
+
+
+def make_anchor_dict_table(rows: list[dict]) -> pa.Table:
+    """Hand-built dict rows (tests / golden fixtures) → schema'd table."""
+    cfg = NormalizeConfig()
+    for r in rows:
+        r.setdefault("norm", normalize_text(r["label"], cfg))
+    return pa.Table.from_pylist(rows, schema=DICT_SCHEMA)
