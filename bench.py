@@ -1,0 +1,125 @@
+"""Benchmark harness: headline ER pipeline + catalog queries, one JSON line.
+
+Usage:
+    RAY_GRAFT_CPUS=32 python bench.py              # one timed run
+    python bench.py --scaling                      # 8-vs-32-cpu fresh runs
+
+The headline metric is the end-to-end three-stage entity-resolution
+pipeline (north_rule) on synthetic transcripts sized to the sf tier of
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1 → 20k conversations);
+``queries`` adds per-query wall times for representative catalog operators
+over the sf tables. ``--scaling`` runs the SAME input at num_cpus=8 and 32
+in fresh processes (page cache warmed by the first run's reads) and reports
+throughput at both plus efficiency = (t_8/t_32)/(32/8) — the sandbox
+stand-in for the N-vs-4N-node criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from semanticizer_ray.pipelines.catalog import CATALOG, _er_fixture_dir
+
+    # ensure fixtures exist before timing (generation is not pipeline work)
+    fx = _er_fixture_dir(sf_dir)
+    import pyarrow.parquet as pq
+
+    n_turns = pq.read_metadata(os.path.join(fx, "transcripts.parquet")).num_rows
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    CATALOG["er_clusters"][0](sf_dir)
+    headline = time.perf_counter() - t0
+    timings["er_clusters"] = round(headline, 3)
+
+    for name in [
+        "q1_pricing_summary",
+        "q6_revenue",
+        "top_revenue_orders",
+        "orders_by_nation",
+        "revenue_by_nation",
+        "events_per_type",
+        "events_hourly",
+        "doc_token_counts",
+        "exact_dedup_docs",
+        "minhash_dedup_docs",
+        "simhash_docs",
+        "knn_cosine",
+        "doc_quality",
+    ]:
+        fn = CATALOG[name][0]
+        t0 = time.perf_counter()
+        fn(sf_dir)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "e2e_entity_resolution_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "n_turns": int(n_turns),
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    warm = one(8)  # also warms the page cache / fixture generation
+    lo = one(8)
+    hi = one(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "turns_per_sec_8": lo["turns_per_sec"],
+        "turns_per_sec_32": hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "warmup_sec_8": warm["value"],
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,630 @@
+"""Query catalog: every public operator as a (ray_fn, oracle_sql) pair.
+
+This is the engine's general query layer (SURVEY.md T11) plus the
+training-data operators, wired for the driver contract in
+``__ray_entry__.py``: each entry's callable takes ``sf_dir`` and returns a
+Dataset / DataFrame / Table; ``sql`` is the DuckDB oracle over the same
+parquet tables (None → rows-only check for non-SQL-expressible ops).
+
+Column-name parity rule: every computed column is named identically in the
+Ray code and the SQL (the driver hashes values after sorting columns by
+name). Float aggregates are rounded to 2 decimals on BOTH sides to absorb
+summation-order differences.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..config import EngineConfig
+from ..sources.parquet import read_table
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _round_cols(df: pd.DataFrame, cols: list[str], nd: int = 2) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].astype(float).round(nd)
+    return df
+
+
+# ---------------------------------------------------------------- relational
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style pricing summary (filter → grouped agg, pre-aggregated
+    per batch by Ray's hash aggregate)."""
+    ds = read_table(
+        _p(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "disc_price": disc,
+                "l_discount": t["l_discount"],
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    return _round_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_disc"])
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                              AS sum_qty,
+       round(sum(l_extendedprice), 2)                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       round(avg(l_quantity), 2)                              AS avg_qty,
+       round(avg(l_discount), 2)                              AS avg_disc,
+       count(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q6_revenue(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(
+        _p(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+                pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-01-01"))),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(t["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(m)
+        return pa.table({"rev": pc.multiply(t["l_extendedprice"], t["l_discount"])})
+
+    total = ds.map_batches(prep, batch_format="pyarrow").sum("rev")
+    return pd.DataFrame({"revenue": [round(float(total or 0.0), 2)]})
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def top_revenue_orders(sf_dir: str) -> pd.DataFrame:
+    """Grouped agg → global top-k (sort-limit)."""
+    ds = read_table(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev": pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    top = agg.sort("revenue", descending=True).limit(10).to_pandas()
+    top = top.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).reset_index(drop=True)
+    return _round_cols(top, ["revenue"])
+
+
+TOP_REVENUE_SQL = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY l_orderkey ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey LIMIT 10
+"""
+
+
+def orders_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join chain: orders ⋈ customer ⋈ nation → count per nation.
+
+    customer/nation are the small sides (``ray.put`` once, pandas merge per
+    batch) — no shuffle join; the only exchange is the final tiny groupby.
+    """
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
+    small = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    lookup_ref = ray.put(dict(zip(small["c_custkey"], small["n_name"])))
+
+    ds = read_table(_p(sf_dir, "orders"), columns=["o_custkey"])
+
+    class Attach:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.lookup.get(c) for c in t["o_custkey"].to_pylist()]
+            return pa.table({"n_name": pa.array(names, pa.string())})
+
+    out = (
+        ds.map_batches(Attach, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+ORDERS_BY_NATION_SQL = """
+SELECT n_name, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5-flavored: lineitem ⋈ orders ⋈ customer ⋈ nation revenue."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
+    orders = pq.read_table(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]).to_pandas()
+    side = orders.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    lookup_ref = ray.put(dict(zip(side["o_orderkey"], side["n_name"])))
+
+    ds = read_table(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    class Attach:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.lookup.get(c) for c in t["l_orderkey"].to_pylist()]
+            rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            return pa.table({"n_name": pa.array(names, pa.string()), "rev": rev})
+
+    out = (
+        ds.map_batches(Attach, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    return _round_cols(out, ["revenue"])
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def events_per_type(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(_p(sf_dir, "events"), columns=["event_type", "value"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value", alias_name="sum_value"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return _round_cols(out, ["sum_value", "min_value", "max_value"])
+
+
+EVENTS_PER_TYPE_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Event-time tumbling window as GROUP BY hour bucket (streaming-shaped
+    workload per ray_guide: ordered log → keyed window aggregation)."""
+    ds = read_table(_p(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"hour": hour, "event_type": t["event_type"]})
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def distinct_event_users(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(_p(sf_dir, "events"), columns=["user_id"])
+    n = ds.unique("user_id")
+    return pd.DataFrame({"n_users": [len(n)]})
+
+
+DISTINCT_USERS_SQL = "SELECT count(DISTINCT user_id) AS n_users FROM events"
+
+
+def filter_high_quantity(sf_dir: str) -> pd.DataFrame:
+    """Plain vectorized filter + projection (row-level parity check)."""
+    ds = read_table(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"],
+    )
+    out = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], pa.scalar(49.0))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+FILTER_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+FROM lineitem WHERE l_quantity > 49 ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# ------------------------------------------------------------ text / dedup
+
+def docs_by_lang(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(_p(sf_dir, "documents"), columns=["lang", "n_chars"])
+    out = (
+        ds.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"),
+                   Mean("n_chars", alias_name="avg_chars"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return _round_cols(out, ["avg_chars"])
+
+
+DOCS_BY_LANG_SQL = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def doc_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Whitespace token counting (T-text analysis) with SQL parity."""
+    from ..stages.textstats import token_stats
+
+    ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = token_stats(ds).to_pandas()[["doc_id", "n_tokens_ws"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_TOKENS_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens_ws
+FROM documents ORDER BY doc_id
+"""
+
+
+def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import exact_dedup
+
+    ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY min(doc_id)
+"""
+
+
+def knn_cosine(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 for 3 fixed query vectors (vec_id 0,1,2)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_brute
+
+    q = (
+        pq.read_table(_p(sf_dir, "embeddings"))
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(3)["embedding"]
+    )
+    queries = np.asarray([np.asarray(v, dtype=np.float64) for v in q])
+    ds = read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = knn_brute(ds, queries, k=10).to_pandas()
+    out["cosine"] = out["cosine"].round(4)
+    return out[["query_idx", "vec_id", "cosine"]].sort_values(
+        ["query_idx", "cosine", "vec_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
+KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_idx, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_idx, e.vec_id,
+         round(list_cosine_similarity(q.qv, e.embedding), 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.query_idx
+           ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id
+         ) AS rn
+  FROM q CROSS JOIN embeddings e
+)
+SELECT CAST(query_idx AS INTEGER) AS query_idx, vec_id, cosine
+FROM scored WHERE rn <= 10 ORDER BY query_idx, cosine DESC, vec_id
+"""
+
+
+def components_supplier_part(sf_dir: str) -> pd.DataFrame:
+    """T9 on a real graph: connected components of the supplier–part
+    bipartite graph from lineitem, vs a DuckDB recursive-CTE oracle."""
+    from ..stages.clustering import cluster_edges
+
+    ds = read_table(_p(sf_dir, "lineitem"), columns=["l_suppkey", "l_partkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_a": pa.array([f"s{v:08d}" for v in t["l_suppkey"].to_pylist()]),
+                "conv_b": pa.array([f"p{v:08d}" for v in t["l_partkey"].to_pylist()]),
+            }
+        )
+
+    edges = ds.map_batches(to_edges, batch_format="pyarrow")
+    out = cluster_edges(edges, None, EngineConfig()).to_pandas()
+    out = out.rename(columns={"conv_id": "node", "cluster_id": "component"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+COMPONENTS_SQL = """
+WITH RECURSIVE
+edges AS (
+  SELECT DISTINCT 's' || lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS a,
+                  'p' || lpad(CAST(l_partkey AS VARCHAR), 8, '0') AS b
+  FROM lineitem
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.a, w.label FROM sym s JOIN walk w ON s.b = w.node
+  WHERE w.label < s.a
+)
+SELECT node, min(label) AS component FROM walk GROUP BY node ORDER BY node
+"""
+
+
+# ------------------------------------------------- rows-only (non-SQL ops)
+
+def _er_fixture_dir(sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    n = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 20000}.get(sf, 200)
+    out = f"/tmp/semanticizer_ray_fixtures/{sf}_n{n}"
+    marker = os.path.join(out, "transcripts.parquet")
+    if not os.path.exists(marker):
+        from ..gen import write_fixture_set
+
+        write_fixture_set(out, n_convs=n, seed=42)
+    return out
+
+
+def er_clusters(sf_dir: str) -> pd.DataFrame:
+    """Flagship: full three-stage entity resolution on synthetic transcripts
+    sized to the sf tier (rows-only check: non-SQL-expressible)."""
+    import pyarrow.parquet as pq
+
+    from .entity_resolution import resolve_entities
+
+    fx = _er_fixture_dir(sf_dir)
+    cfg = EngineConfig()
+    dict_table = None
+    corp = os.path.join(fx, "link_corpus.parquet")
+    if os.path.exists(corp):
+        from ..state.anchor_dict import build_anchor_dict
+
+        dict_table = pa.Table.from_pandas(
+            build_anchor_dict(rd.read_parquet(corp), cfg).to_pandas()
+        )
+    transcripts = rd.read_parquet(os.path.join(fx, "transcripts.parquet"))
+    res = resolve_entities(transcripts, cfg, anchor_dict_source=dict_table)
+    return res.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
+
+
+def er_mentions(sf_dir: str) -> pd.DataFrame:
+    """T3 anchor mention extraction on synthetic transcripts (rows-only)."""
+    from ..stages.mentions import extract_mentions
+    from ..stages.normalize_turns import normalize_turns
+    from ..state.anchor_dict import build_anchor_dict
+
+    fx = _er_fixture_dir(sf_dir)
+    cfg = EngineConfig()
+    dict_table = pa.Table.from_pandas(
+        build_anchor_dict(
+            rd.read_parquet(os.path.join(fx, "link_corpus.parquet")), cfg
+        ).to_pandas()
+    )
+    ds = normalize_turns(rd.read_parquet(os.path.join(fx, "transcripts.parquet")), cfg)
+    out = extract_mentions(ds, dict_table, cfg).to_pandas()
+    return out.sort_values(["conv_id", "turn_idx", "start", "end", "sense_id"]).reset_index(
+        drop=True
+    )
+
+
+def minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import minhash_dedup
+
+    ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = minhash_dedup(ds, EngineConfig()).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def simhash_docs(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import simhash_dedup
+
+    ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return simhash_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_quality(sf_dir: str) -> pd.DataFrame:
+    from ..stages.textstats import quality_score
+
+    ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = quality_score(ds).to_pandas()[
+        ["doc_id", "punct_ratio", "stop_ratio", "mean_word_len", "quality"]
+    ]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_langid(sf_dir: str) -> pd.DataFrame:
+    from ..stages.textstats import lang_id
+
+    ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    out = lang_id(ds).to_pandas()[["doc_id", "lang", "lang_pred"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    from ..stages.textstats import fingerprint
+
+    ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = fingerprint(ds).to_pandas()[["doc_id", "fp"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def knn_lsh_cosine(sf_dir: str) -> pd.DataFrame:
+    """Approximate KNN (rows-only; recall vs knn_brute asserted in tests)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_lsh
+
+    q = (
+        pq.read_table(_p(sf_dir, "embeddings"))
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(3)["embedding"]
+    )
+    queries = np.asarray([np.asarray(v, dtype=np.float64) for v in q])
+    ds = read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = knn_lsh(ds, queries, k=10).to_pandas()
+    out["cosine"] = out["cosine"].round(4)
+    return out.sort_values(["query_idx", "cosine", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
+
+
+def embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import embedding_dedup
+
+    ds = read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    # testdata embeddings have no true near-dups (max pairwise cosine
+    # ~0.48) - 0.4 exercises the operator end-to-end on this corpus
+    out = embedding_dedup(ds, cosine_threshold=0.4).to_pandas()
+    if out.empty:  # no near-dups at this threshold → keep schema stable
+        return pd.DataFrame({"src": pd.Series(dtype="int64"),
+                             "dst": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    out["cosine"] = out["cosine"].round(4)
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing: synthetic media table → decode/feature actor
+    pool (deterministic fake decode; rows-only)."""
+    from ..stages.multimodal import decode_features, synth_media_table
+
+    tbl = synth_media_table(200, seed=42)
+    out = decode_features(rd.from_arrow(tbl)).to_pandas()
+    out["features"] = out["features"].apply(lambda v: list(np.round(v, 6)))
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ registry
+
+CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
+    # relational layer (T11) — full SQL oracles
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q6_revenue": (q6_revenue, Q6_SQL),
+    "top_revenue_orders": (top_revenue_orders, TOP_REVENUE_SQL),
+    "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),
+    "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
+    "events_per_type": (events_per_type, EVENTS_PER_TYPE_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "distinct_event_users": (distinct_event_users, DISTINCT_USERS_SQL),
+    "filter_high_quantity": (filter_high_quantity, FILTER_SQL),
+    # text / dedup / similarity — SQL where expressible
+    "docs_by_lang": (docs_by_lang, DOCS_BY_LANG_SQL),
+    "doc_token_counts": (doc_token_counts, DOC_TOKENS_SQL),
+    "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
+    "knn_cosine": (knn_cosine, KNN_SQL),
+    "components_supplier_part": (components_supplier_part, COMPONENTS_SQL),
+    # rows-only (non-SQL-expressible: sketches, models, actor state)
+    "er_clusters": (er_clusters, None),
+    "er_mentions": (er_mentions, None),
+    "minhash_dedup_docs": (minhash_dedup_docs, None),
+    "simhash_docs": (simhash_docs, None),
+    "doc_quality": (doc_quality, None),
+    "doc_langid": (doc_langid, None),
+    "doc_fingerprints": (doc_fingerprints, None),
+    "knn_lsh_cosine": (knn_lsh_cosine, None),
+    "embedding_neardup_pairs": (embedding_neardup_pairs, None),
+    "media_features": (media_features, None),
+}

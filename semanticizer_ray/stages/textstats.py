@@ -1,0 +1,136 @@
+"""Text-analysis operators over document tables (SURVEY.md §2 extensions).
+
+Large-scale training-data pipeline utilities, each a stateless/actor-pool
+``map_batches`` over Arrow batches on a table with (id, text) columns:
+
+- ``token_stats``     whitespace + BPE-ish regex token counting
+- ``quality_score``   length / punctuation / stopword-ratio heuristics
+- ``lang_id``         n-gram profile heuristic (latin-script languages) —
+                      deterministic, dependency-free
+- ``fingerprint``     64-bit rolling-hash document fingerprint
+
+The reference's nearest analogs: stopword filtering and language routes on
+the server (SURVEY.md M9/M10); these generalize them to columnar batch ops.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_WS_TOKEN = re.compile(r"\S+")
+# BPE-ish: letter runs, digit runs, single punctuation marks (GPT-2 style,
+# simplified and dependency-free)
+_BPE_TOKEN = re.compile(r"[A-Za-zÀ-ÿ]+|\d+|[^\sA-Za-zÀ-ÿ\d]")
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it", "on", "with"},
+    "de": {"der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"},
+    "fr": {"le", "la", "les", "de", "et", "est", "un", "une", "que", "pour"},
+    "es": {"el", "la", "los", "de", "y", "es", "un", "una", "que", "por"},
+    "it": {"il", "la", "di", "e", "che", "un", "una", "per", "non", "sono"},
+}
+
+_PUNCT = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def token_stats(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Adds n_tokens_ws (whitespace) and n_tokens_bpe (regex BPE-ish)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ws = np.fromiter(
+            (len(_WS_TOKEN.findall(t or "")) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        bpe = np.fromiter(
+            (len(_BPE_TOKEN.findall(t or "")) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        batch = batch.append_column("n_tokens_ws", pa.array(ws))
+        return batch.append_column("n_tokens_bpe", pa.array(bpe))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def quality_score(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Adds punct_ratio, stop_ratio, mean_word_len, quality in [0,1].
+
+    quality = heuristic blend: penalize extreme punctuation density, very
+    short docs and stopword-free (non-prose) text.
+    """
+
+    all_stops = set().union(*_STOPWORDS.values())
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        punct = np.empty(n)
+        stop = np.empty(n)
+        mwl = np.empty(n)
+        for i, t in enumerate(texts):
+            t = t or ""
+            nc = max(1, len(t))
+            punct[i] = len(_PUNCT.findall(t)) / nc
+            words = [w.lower() for w in _WS_TOKEN.findall(t)]
+            nw = max(1, len(words))
+            stop[i] = sum(w in all_stops for w in words) / nw
+            mwl[i] = sum(len(w) for w in words) / nw
+        length = np.array([len(t or "") for t in texts], dtype=np.float64)
+        q = (
+            np.clip(length / 200.0, 0, 1) * 0.4
+            + np.clip(stop / 0.3, 0, 1) * 0.4
+            + np.clip(1.0 - punct / 0.2, 0, 1) * 0.2
+        )
+        batch = batch.append_column("punct_ratio", pa.array(punct))
+        batch = batch.append_column("stop_ratio", pa.array(stop))
+        batch = batch.append_column("mean_word_len", pa.array(mwl))
+        return batch.append_column("quality", pa.array(q))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class LangId:
+    """Stopword-profile language guesser (actor: profiles built once)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.profiles = _STOPWORDS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        out = []
+        for t in texts:
+            words = [w.lower() for w in _WS_TOKEN.findall(t or "")][:200]
+            best, best_n = "unknown", 0
+            for lang, stops in self.profiles.items():
+                k = sum(w in stops for w in words)
+                if k > best_n:
+                    best, best_n = lang, k
+            out.append(best)
+        return batch.append_column("lang_pred", pa.array(out, pa.string()))
+
+
+def lang_id(ds: rd.Dataset, text_col: str = "text", concurrency: int = 4) -> rd.Dataset:
+    return ds.map_batches(
+        LangId, fn_constructor_args=(text_col,), batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+
+
+def fingerprint(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Adds ``fp``: 64-bit FNV-1a rolling hash of the text bytes (hex)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        fps = []
+        for t in texts:
+            acc = 14695981039346656037
+            for byte in (t or "").encode("utf-8"):
+                acc = ((acc ^ byte) * 1099511628211) % (1 << 64)
+            fps.append(f"{acc:016x}")
+        return batch.append_column("fp", pa.array(fps, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
