@@ -59,6 +59,12 @@ class BlockingConfig:
     # anchor-derived blocking: each conversation also emits its top-K rarest
     # matched anchors as blocking keys (complements LSH for short texts)
     anchor_keys_per_conv: int = 4
+    # anchor keys shared by more conversations than this are DROPPED (not
+    # salted): a non-discriminative anchor is noise, and exact pair coverage
+    # of such blocks is quadratic blow-up for near-zero precision. Dropped
+    # key count is logged by the blocking stage (no silent loss of the
+    # configured semantics; LSH still covers near-dup pairs)
+    anchor_max_block_size: int = 32
     # hot-key handling: blocks larger than this get salted into sub-blocks
     max_block_size: int = 64
     # absolute guard: a (possibly salted) block never generates more pairs

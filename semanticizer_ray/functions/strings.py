@@ -86,16 +86,69 @@ def jaro_winkler(a: str, b: str, cap: int = 128, prefix_weight: float = 0.1) -> 
     return j + prefix * prefix_weight * (1.0 - j)
 
 
+def batch_levenshtein_ratio(
+    left: np.ndarray, right: np.ndarray, cap: int = 256
+) -> np.ndarray:
+    """Vectorized Levenshtein ratio over ALL pairs at once.
+
+    One DP over (n_pairs, cap+1) numpy arrays — ``cap`` python iterations
+    total instead of per pair, amortizing numpy call overhead ~100×. Exact:
+    matches ``levenshtein_ratio`` bit-for-bit (tests assert parity).
+    Padding is masked by capturing each pair's answer at its own final DP
+    row/column.
+    """
+    n = len(left)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    la = np.empty(n, dtype=np.int64)
+    lb = np.empty(n, dtype=np.int64)
+    A = np.zeros((n, cap), dtype=np.uint32)
+    B = np.zeros((n, cap), dtype=np.uint32)
+    for i in range(n):
+        a = (left[i] or "")[:cap]
+        b = (right[i] or "")[:cap]
+        la[i] = len(a)
+        lb[i] = len(b)
+        if a:
+            A[i, : len(a)] = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+        if b:
+            B[i, : len(b)] = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    max_a = int(la.max()) if n else 0
+    m = int(lb.max()) if n else 0
+    idx = np.arange(m + 1, dtype=np.int32)[None, :]  # (1, m+1)
+    prev = np.broadcast_to(idx, (n, m + 1)).astype(np.int32).copy()
+    # answer per pair: prev[lb] at DP row la (row 0 answer for la == 0)
+    res = np.where(la == 0, lb, -1).astype(np.int64)
+    rows = np.arange(n)
+    for i in range(1, max_a + 1):
+        ca = A[:, i - 1][:, None]  # (n, 1)
+        sub = prev[:, :-1] + (B[:, :m] != ca)
+        ins = prev[:, 1:] + 1
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        np.minimum(sub, ins, out=cur[:, 1:])
+        # deletions: cur[j] = min(cur[j], cur[j-1]+1) via cummin transform
+        d = cur - idx
+        np.minimum.accumulate(d, axis=1, out=d)
+        cur = d + idx
+        done = la == i
+        if done.any():
+            res[done] = cur[rows[done], lb[done]]
+        prev = cur
+    out = np.ones(n, dtype=np.float64)
+    nz = (la > 0) | (lb > 0)
+    denom = np.maximum(la, lb)
+    out[nz] = 1.0 - res[nz] / denom[nz]
+    return out
+
+
 def batch_pair_scores(
     left: np.ndarray, right: np.ndarray, lev_cap: int = 256, jw_cap: int = 128
 ) -> tuple[np.ndarray, np.ndarray]:
     """(jaro_winkler, levenshtein_ratio) for aligned arrays of string pairs."""
     n = len(left)
     jw = np.empty(n, dtype=np.float64)
-    lv = np.empty(n, dtype=np.float64)
     for i in range(n):
-        a = left[i] or ""
-        b = right[i] or ""
-        jw[i] = jaro_winkler(a, b, cap=jw_cap)
-        lv[i] = levenshtein_ratio(a, b, cap=lev_cap)
+        jw[i] = jaro_winkler(left[i] or "", right[i] or "", cap=jw_cap)
+    lv = batch_levenshtein_ratio(left, right, cap=lev_cap)
     return jw, lv

@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..config import EngineConfig
+from ..functions.groupagg import grouped_count, sorted_apply_exact, sorted_grouped_agg
 from ..functions.minhash import band_hashes
 from ..functions.normalize import normalize_text
 
@@ -73,23 +74,23 @@ def anchor_summaries(mentions: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
     k_keys = cfg.blocking.anchor_keys_per_conv
     ncfg = cfg.normalize
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = (
-            batch.groupby(["conv_id", "label"], sort=False)
-            .agg(
-                cnt=("label", "size"),
-                link_probability=("link_probability", "first"),
-                label_link_doc=("label_link_doc", "first"),
+    def label_combine(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized (conv, label) count combine; handles raw mention rows
+        (no cnt column) and partials alike — composable."""
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype="str"),
+                    "label": pd.Series(dtype="str"),
+                    "cnt": pd.Series(dtype="int64"),
+                    "link_probability": pd.Series(dtype="float64"),
+                    "label_link_doc": pd.Series(dtype="int64"),
+                }
             )
-            .reset_index()
-        )
-        return g
-
-    partials = mentions.map_batches(partial, batch_format="pandas", batch_size=65536)
-
-    def summarize(group: pd.DataFrame) -> pd.DataFrame:
-        g = (
-            group.groupby("label", sort=False)
+        if "cnt" not in df.columns:
+            df = df.assign(cnt=1)
+        return (
+            df.groupby(["conv_id", "label"], sort=False)
             .agg(
                 cnt=("cnt", "sum"),
                 link_probability=("link_probability", "first"),
@@ -97,24 +98,61 @@ def anchor_summaries(mentions: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
             )
             .reset_index()
         )
-        g["w"] = g["cnt"] * g["link_probability"]
-        top = g.sort_values(["w", "label"], ascending=[False, True]).head(TOP_M_ANCHORS)
-        rare = g.sort_values(["label_link_doc", "label"]).head(k_keys)
-        keys = [f"A:{normalize_text(l, ncfg)}" for l in rare["label"]]
-        return pd.DataFrame(
-            {
-                "conv_id": [group["conv_id"].iloc[0]],
-                "anchor_labels": [list(top["label"])],
-                "anchor_weights": [list(top["w"].astype(float))],
-                "block_keys": [sorted(set(keys))],
-            }
+
+    per_label = sorted_grouped_agg(
+        mentions.select_columns(
+            ["conv_id", "label", "link_probability", "label_link_doc"]
+        ),
+        ["conv_id", "label"],
+        label_combine,
+    )
+
+    def summarize_block(df: pd.DataFrame) -> pd.DataFrame:
+        """Complete conv groups → one summary row each (vectorized: top-M /
+        K-rarest selection via global sorts + groupby.head)."""
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype="str"),
+                    "anchor_labels": pd.Series(dtype="object"),
+                    "anchor_weights": pd.Series(dtype="object"),
+                    "block_keys": pd.Series(dtype="object"),
+                }
+            )
+        df = df.assign(w=df["cnt"] * df["link_probability"])
+        top = (
+            df.sort_values(["conv_id", "w", "label"], ascending=[True, False, True])
+            .groupby("conv_id", sort=False)
+            .head(TOP_M_ANCHORS)
         )
+        tops = top.groupby("conv_id", sort=False).agg(
+            anchor_labels=("label", list), anchor_weights=("w", list)
+        )
+        rare = (
+            df.sort_values(["conv_id", "label_link_doc", "label"])
+            .groupby("conv_id", sort=False)
+            .head(k_keys)
+        )
+        rare = rare.assign(
+            bk=[f"A:{normalize_text(l, ncfg)}" for l in rare["label"]]
+        )
+        keys = rare.groupby("conv_id", sort=False)["bk"].agg(
+            lambda s: sorted(set(s))
+        )
+        out = tops.join(keys.rename("block_keys")).reset_index()
+        return out
 
-    return partials.groupby("conv_id").map_groups(summarize, batch_format="pandas")
+    return sorted_apply_exact(per_label, "conv_id", summarize_block)
 
 
-def anchor_block_keys(summaries: rd.Dataset) -> rd.Dataset:
-    """(conv_id, block_key) rows from summaries' ``block_keys`` lists."""
+def anchor_block_keys(
+    summaries: rd.Dataset, cfg: EngineConfig | None = None
+) -> rd.Dataset:
+    """(conv_id, block_key) rows from summaries' ``block_keys`` lists.
+
+    Keys whose block would exceed ``anchor_max_block_size`` conversations
+    are dropped (with a logged census) — see BlockingConfig for rationale.
+    """
 
     def explode(batch: pa.Table) -> pa.Table:
         convs = batch["conv_id"].to_pylist()
@@ -131,4 +169,33 @@ def anchor_block_keys(summaries: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    return summaries.map_batches(explode, batch_format="pyarrow")
+    keys = summaries.map_batches(explode, batch_format="pyarrow")
+    if cfg is None:
+        return keys
+    cap = cfg.blocking.anchor_max_block_size
+    keys = keys.materialize()
+    counts = grouped_count(keys, "block_key")
+    import pandas as pd_  # local alias; avoids shadowing
+
+    hot = counts.map_batches(
+        lambda df: df[df["n"] > cap], batch_format="pandas"
+    ).to_pandas()
+    if hot.empty or "block_key" not in hot.columns:
+        return keys
+    import ray
+
+    print(
+        f"[blocking] dropping {len(hot)} anchor keys above cap {cap} "
+        f"(max block {int(hot['n'].max())})"
+    )
+    drop_ref = ray.put(set(hot["block_key"]))
+
+    def drop_hot(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import ray as _ray
+
+        drop = _ray.get(drop_ref)
+        mask = [k not in drop for k in batch["block_key"].to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    return keys.map_batches(drop_hot, batch_format="pyarrow")

@@ -29,11 +29,13 @@ A pure-Python ``unionfind_reference`` provides the oracle for tests
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
 from ..config import EngineConfig
+from ..functions.groupagg import sorted_apply_exact, sorted_grouped_agg
 
 CLUSTER_SCHEMA = pa.schema([("conv_id", pa.string()), ("cluster_id", pa.string())])
 
@@ -157,14 +159,16 @@ def cluster_edges(
 
         node_rows = sym.map_batches(edge_nodes, batch_format="pyarrow")
 
-    def dedup_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    def label_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="str"), "label": pd.Series(dtype="str")}
+            )
+        return df.groupby("node", sort=False).first().reset_index()
 
-    labels = (
-        node_rows.groupby("node").map_groups(dedup_first, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
-        .materialize()
-    )
+    labels = sorted_grouped_agg(
+        node_rows.map_batches(lambda t: t, batch_format="pandas"), "node", label_dedup
+    ).materialize()
 
     def label_to_scatter(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -177,44 +181,78 @@ def cluster_edges(
             }
         )
 
-    def scatter(group: pd.DataFrame) -> pd.DataFrame:
-        """Group for key k: its label row + its adjacency rows → messages."""
-        lab_rows = group.loc[group["kind"] == "l", "label"]
-        if len(lab_rows) == 0:  # node absent from labels (cannot happen)
-            return pd.DataFrame({"node": [], "label": [], "is_current": []})
-        lab = lab_rows.iloc[0]
-        key = group["key"].iloc[0]
-        nbrs = group.loc[group["kind"] == "e", "other"]
+    def scatter_block(df: pd.DataFrame) -> pd.DataFrame:
+        """Complete key groups → messages, fully vectorized: merge the
+        block's label rows onto its edge rows by key, then append the
+        label rows as self-messages (is_current)."""
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype="str"),
+                    "label": pd.Series(dtype="str"),
+                    "is_current": pd.Series(dtype="bool"),
+                }
+            )
+        lab = df.loc[df["kind"] == "l", ["key", "label"]]
+        edg = df.loc[df["kind"] == "e", ["key", "other"]]
+        msgs = edg.merge(lab, on="key", how="inner")
         return pd.DataFrame(
             {
-                "node": list(nbrs) + [key],
-                "label": [lab] * (len(nbrs) + 1),
-                "is_current": [False] * len(nbrs) + [True],
+                "node": np.concatenate([msgs["other"].to_numpy(), lab["key"].to_numpy()]),
+                "label": np.concatenate([msgs["label"].to_numpy(), lab["label"].to_numpy()]),
+                "is_current": np.concatenate(
+                    [np.zeros(len(msgs), dtype=bool), np.ones(len(lab), dtype=bool)]
+                ),
             }
         )
 
-    def gather(group: pd.DataFrame) -> pd.DataFrame:
-        new = group["label"].min()
-        cur = group.loc[group["is_current"], "label"].iloc[0]
-        return pd.DataFrame(
-            {
-                "node": [group["node"].iloc[0]],
-                "label": [new],
-                "changed": [int(new < cur)],
-            }
+    def gather_combine(df: pd.DataFrame) -> pd.DataFrame:
+        """Composable min-label reduce keeping the current label: one row
+        per node with (label=min seen, cur=the is_current label)."""
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype="str"),
+                    "label": pd.Series(dtype="str"),
+                    "cur": pd.Series(dtype="object"),
+                }
+            )
+        if "cur" not in df.columns:
+            df = df.assign(cur=df["label"].where(df["is_current"]))
+        g = df.groupby("node", sort=False).agg(
+            label=("label", "min"), cur=("cur", "first")
         )
+        # "first" skips NaN only with min_count tricks; use max which ignores
+        # NaN for object? Safest: explicit combine below.
+        cur = df.dropna(subset=["cur"]).groupby("node", sort=False)["cur"].first()
+        g["cur"] = cur.reindex(g.index)
+        return g.reset_index()
 
     for _round in range(cfg.cluster.max_rounds):
         scat_src = sym.union(
             labels.map_batches(label_to_scatter, batch_format="pyarrow")
         )
-        msgs = scat_src.groupby("key").map_groups(scatter, batch_format="pandas")
-        stepped = (
-            msgs.groupby("node")
-            .map_groups(gather, batch_format="pandas")
-            .map_batches(lambda t: t, batch_format="pyarrow")
-            .materialize()
-        )
+        msgs = sorted_apply_exact(scat_src, "key", scatter_block)
+        stepped = sorted_grouped_agg(msgs, "node", gather_combine).materialize()
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {
+                        "node": pd.Series(dtype="str"),
+                        "label": pd.Series(dtype="str"),
+                        "changed": pd.Series(dtype="int64"),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "label": df["label"],
+                    "changed": (df["label"] < df["cur"]).astype("int64"),
+                }
+            )
+
+        stepped = stepped.map_batches(finalize, batch_format="pandas").materialize()
         changed = stepped.sum("changed")
         labels = stepped.select_columns(["node", "label"]).materialize()
         if not changed:

@@ -3,24 +3,24 @@
 This is the pipeline's big all-to-all shuffle (SURVEY.md T7 / §4 skew row),
 with explicit hot-key handling per north_rule:
 
-1. census: per-batch partial counts → tiny ``groupby(block_key).sum`` →
-   keys over ``max_block_size`` collected to the driver (bounded: output is
-   ≤ one row per distinct hot key) and broadcast;
+1. census: vectorized distributed count per key (``grouped_count``) →
+   keys over ``max_block_size`` collected to the driver (bounded: ≤ one
+   short row per distinct hot key) and broadcast;
 2. salt explode: a hot key with n members gets s = ceil(n / max_block_size)
    salts (capped at MAX_SALT). Member x lands in salt i = hash(conv)%s and
    is replicated into the s groups {key#(min(i,j),max(i,j))}: every pair of
    members still meets in EXACTLY one salted group (triangle replication —
    exact pair coverage, s× row replication of tiny rows);
-3. ``groupby(salted_key).map_groups``: sorted member list → within/cross
-   pairs (conv_a < conv_b), capped at ``max_pairs_per_block`` (overflow is
-   COUNTED on emitted rows via the ``block_overflow`` column — no silent
-   truncation);
-4. global pair dedup: ``groupby(conv_a, conv_b)`` keep-first (a pair found
-   by many bands is scored once).
+3. per-block pair generation via ``sorted_apply_exact`` (complete groups,
+   one vectorized pass per block — no per-group pandas), capped at
+   ``max_pairs_per_block`` with the overflow COUNTED on emitted rows
+   (``block_overflow`` — no silent truncation);
+4. global pair dedup: one ``sorted_grouped_agg`` on the combined pair key
+   (a pair found by many bands is scored once; lineage keeps min block_id).
 
 Rows entering the shuffle are (block_key, conv_id) only — profiles/features
-are attached to the deduplicated pairs afterwards (stage T8) via a
-conv-keyed hash join, so the quadratic step never moves text.
+are attached to the deduplicated pairs afterwards (stage T8), so the
+quadratic step never moves text.
 """
 
 from __future__ import annotations
@@ -34,6 +34,7 @@ import ray
 import ray.data as rd
 
 from ..config import EngineConfig
+from ..functions.groupagg import group_starts, grouped_count, sorted_apply_exact, sorted_grouped_agg
 
 MAX_SALT = 8
 
@@ -53,115 +54,135 @@ def _stable_hash(s: str) -> int:
 
 def block_census(block_rows: rd.Dataset, cfg: EngineConfig) -> dict[str, int]:
     """Hot blocking keys → member count. Small driver-side dict (only keys
-    above ``max_block_size``); partial-aggregated before the groupby."""
+    above ``max_block_size``)."""
     cap = cfg.blocking.max_block_size
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("block_key", sort=False).size().reset_index(name="n")
-        return g
-
-    counts = (
-        block_rows.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("block_key")
-        .sum("n")
-    )
+    counts = grouped_count(block_rows, "block_key")
     hot = counts.map_batches(
-        lambda t: t.filter(np.asarray(t["sum(n)"]) > cap), batch_format="pyarrow"
+        lambda df: df[df["n"] > cap], batch_format="pandas"
     ).to_pandas()
     if hot.empty or "block_key" not in hot.columns:
         return {}
-    return dict(zip(hot["block_key"], hot["sum(n)"].astype(int)))
+    return dict(zip(hot["block_key"], hot["n"].astype(int)))
 
 
 def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
     """(block_key, conv_id) rows → deduplicated (conv_a, conv_b) pairs."""
     bcfg = cfg.blocking
+    # keys are consumed twice (census + explode): pin them once
+    block_rows = block_rows.materialize()
     hot = block_census(block_rows, cfg)
     hot_ref = ray.put(
-        {
-            k: min(MAX_SALT, -(-n // bcfg.max_block_size))
-            for k, n in hot.items()
-        }
+        {k: min(MAX_SALT, -(-n // bcfg.max_block_size)) for k, n in hot.items()}
     )
 
-    class SaltExplode:
-        def __init__(self):
-            self.hot: dict[str, int] = ray.get(hot_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["block_key"].to_pylist()
-            convs = batch["conv_id"].to_pylist()
-            out_key, out_conv = [], []
-            for key, conv in zip(keys, convs):
-                s = self.hot.get(key)
-                if s is None or s <= 1:
-                    out_key.append(key)
-                    out_conv.append(conv)
-                else:
-                    i = _stable_hash(conv) % s
-                    for j in range(s):
-                        lo, hi = min(i, j), max(i, j)
-                        out_key.append(f"{key}#s{s}:{lo}-{hi}")
-                        out_conv.append(conv)
-            return pa.table(
-                {
-                    "block_key": pa.array(out_key, pa.string()),
-                    "conv_id": pa.array(out_conv, pa.string()),
-                }
-            )
-
-    salted = block_rows.map_batches(SaltExplode, batch_format="pyarrow",
-                                    concurrency=(1, cfg.actor_concurrency))
-
-    max_pairs = bcfg.max_pairs_per_block
-
-    def gen_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        key = group["block_key"].iloc[0]
-        members = sorted(set(group["conv_id"]))
-        pairs: list[tuple[str, str]] = []
-        if "#s" in key:
-            base, salt_part = key.rsplit("#s", 1)
-            s_str, rng = salt_part.split(":", 1)
-            s = int(s_str)
-            lo, hi = (int(x) for x in rng.split("-"))
-            if lo == hi:
-                members = [m for m in members if _stable_hash(m) % s == lo]
-                pairs = [
-                    (a, b)
-                    for ai, a in enumerate(members)
-                    for b in members[ai + 1 :]
-                ]
+    def salt_explode(batch: pa.Table) -> pa.Table:
+        hot_map: dict[str, int] = ray.get(hot_ref)
+        if not hot_map:
+            return batch
+        keys = batch["block_key"].to_pylist()
+        convs = batch["conv_id"].to_pylist()
+        out_key, out_conv = [], []
+        for key, conv in zip(keys, convs):
+            s = hot_map.get(key)
+            if s is None or s <= 1:
+                out_key.append(key)
+                out_conv.append(conv)
             else:
-                left = [m for m in members if _stable_hash(m) % s == lo]
-                right = [m for m in members if _stable_hash(m) % s == hi]
-                pairs = [(min(a, b), max(a, b)) for a in left for b in right]
-        else:
-            pairs = [
-                (a, b) for ai, a in enumerate(members) for b in members[ai + 1 :]
-            ]
-        overflow = max(0, len(pairs) - max_pairs)
-        if overflow:
-            pairs = pairs[:max_pairs]
-        if not pairs:
-            return pd.DataFrame(
-                {"conv_a": [], "conv_b": [], "block_id": [], "block_overflow": []}
-            )
-        return pd.DataFrame(
+                i = _stable_hash(conv) % s
+                for j in range(s):
+                    lo, hi = min(i, j), max(i, j)
+                    out_key.append(f"{key}#s{s}:{lo}-{hi}")
+                    out_conv.append(conv)
+        return pa.table(
             {
-                "conv_a": [p[0] for p in pairs],
-                "conv_b": [p[1] for p in pairs],
-                "block_id": key,
-                "block_overflow": overflow,
+                "block_key": pa.array(out_key, pa.string()),
+                "conv_id": pa.array(out_conv, pa.string()),
             }
         )
 
-    all_pairs = salted.groupby("block_key").map_groups(
-        gen_pairs, batch_format="pandas"
-    )
+    salted = block_rows.map_batches(salt_explode, batch_format="pyarrow")
 
-    def dedup(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values("block_id").head(1)
+    max_pairs = bcfg.max_pairs_per_block
 
-    return all_pairs.groupby(["conv_a", "conv_b"]).map_groups(
-        dedup, batch_format="pandas"
-    )
+    def gen_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        """All complete key groups of one block → pair rows (vectorized
+        group iteration via boundary indices; the inner all-pairs loop is
+        bounded by the salt cap)."""
+        out_pk: list[str] = []
+        out_block: list[str] = []
+        out_over: list[int] = []
+        if len(df):
+            keys = df["block_key"].to_numpy()
+            convs = df["conv_id"].to_numpy()
+            starts = group_starts(keys)
+            bounds = np.append(starts, len(df))
+            for gi in range(len(starts)):
+                lo_i, hi_i = bounds[gi], bounds[gi + 1]
+                key = keys[lo_i]
+                members = sorted(set(convs[lo_i:hi_i]))
+                if "#s" in key:
+                    _, salt_part = key.rsplit("#s", 1)
+                    s_str, rng = salt_part.split(":", 1)
+                    s = int(s_str)
+                    lo, hi = (int(x) for x in rng.split("-"))
+                    if lo == hi:
+                        mem = [m for m in members if _stable_hash(m) % s == lo]
+                        pairs = [
+                            (a, b) for ai, a in enumerate(mem) for b in mem[ai + 1 :]
+                        ]
+                    else:
+                        left = [m for m in members if _stable_hash(m) % s == lo]
+                        right = [m for m in members if _stable_hash(m) % s == hi]
+                        pairs = [(min(a, b), max(a, b)) for a in left for b in right]
+                else:
+                    pairs = [
+                        (a, b) for ai, a in enumerate(members) for b in members[ai + 1 :]
+                    ]
+                overflow = max(0, len(pairs) - max_pairs)
+                if overflow:
+                    pairs = pairs[:max_pairs]
+                out_pk.extend(f"{a}|{b}" for a, b in pairs)
+                out_block.extend([key] * len(pairs))
+                out_over.extend([overflow] * len(pairs))
+        return pd.DataFrame(
+            {
+                "pair_key": pd.Series(out_pk, dtype="str"),
+                "block_id": pd.Series(out_block, dtype="str"),
+                "block_overflow": pd.Series(out_over, dtype="int64"),
+            }
+        )
+
+    all_pairs = sorted_apply_exact(salted, "block_key", gen_pairs_block)
+
+    def dedup_combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return (
+            df.groupby("pair_key", sort=False)
+            .agg(block_id=("block_id", "min"), block_overflow=("block_overflow", "max"))
+            .reset_index()
+        )
+
+    deduped = sorted_grouped_agg(all_pairs, "pair_key", dedup_combine)
+
+    def split_key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "conv_a": pd.Series(dtype="str"),
+                    "conv_b": pd.Series(dtype="str"),
+                    "block_id": pd.Series(dtype="str"),
+                    "block_overflow": pd.Series(dtype="int64"),
+                }
+            )
+        ab = df["pair_key"].str.split("|", n=1, expand=True)
+        return pd.DataFrame(
+            {
+                "conv_a": ab[0],
+                "conv_b": ab[1],
+                "block_id": df["block_id"],
+                "block_overflow": df["block_overflow"],
+            }
+        )
+
+    return deduped.map_batches(split_key, batch_format="pandas")

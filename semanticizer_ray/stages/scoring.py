@@ -41,7 +41,7 @@ import ray.data as rd
 
 from ..config import EngineConfig, ScoringConfig
 from ..functions.minhash import estimate_jaccard
-from ..functions.strings import jaro_winkler, levenshtein_ratio
+from ..functions.strings import batch_levenshtein_ratio, jaro_winkler, levenshtein_ratio
 
 EDGE_SCHEMA = pa.schema(
     [
@@ -60,8 +60,12 @@ EDGE_SCHEMA = pa.schema(
 
 FEATURE_NAMES = ["jaccard_est", "jaro_winkler", "lev_ratio", "anchor_overlap", "len_ratio"]
 
-LEV_CAP = 512
-JW_CAP = 256
+# Edit-metric caps: Jaro is O(n²) pure Python (~0.5 ms at 64 chars, ~30 ms
+# at 256), so it runs on a short prefix — the full-text signal comes from
+# the MinHash Jaccard estimate; Levenshtein's inner loop is numpy-vectorized
+# so it affords a longer window.
+LEV_CAP = 256
+JW_CAP = 64
 
 
 SIDE_COLS = ["sig", "text_head", "n_chars", "anchor_labels", "anchor_weights"]
@@ -108,49 +112,22 @@ def attach_profiles(pairs: rd.Dataset, side: Any, num_partitions: int = 16) -> r
 
     side_ref = side if isinstance(side, ray.ObjectRef) else ray.put(side)
 
-    class Attach:
-        def __init__(self):
-            table: pa.Table = ray.get(side_ref)
-            self.idx: dict[str, int] = {
-                c: i for i, c in enumerate(table["conv_id"].to_pylist())
-            }
-            self.cols = {name: table[name].to_pylist() for name in SIDE_COLS}
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            conv_a = batch["conv_a"].to_pylist()
-            conv_b = batch["conv_b"].to_pylist()
-            data: dict[str, list] = {
-                "conv_a": conv_a,
-                "conv_b": conv_b,
-                "block_id": batch["block_id"].to_pylist(),
-            }
-            for suffix, convs in (("_a", conv_a), ("_b", conv_b)):
-                rows = [self.idx[c] for c in convs]
-                for name in SIDE_COLS:
-                    col = self.cols[name]
-                    data[name + suffix] = [col[r] for r in rows]
-            t = pa.table(
-                {
-                    "conv_a": pa.array(data["conv_a"], pa.string()),
-                    "conv_b": pa.array(data["conv_b"], pa.string()),
-                    "block_id": pa.array(data["block_id"], pa.string()),
-                    "sig_a": pa.array(data["sig_a"], pa.binary()),
-                    "sig_b": pa.array(data["sig_b"], pa.binary()),
-                    "text_head_a": pa.array(data["text_head_a"], pa.string()),
-                    "text_head_b": pa.array(data["text_head_b"], pa.string()),
-                    "n_chars_a": pa.array(data["n_chars_a"], pa.int64()),
-                    "n_chars_b": pa.array(data["n_chars_b"], pa.int64()),
-                    "anchor_labels_a": pa.array(data["anchor_labels_a"], pa.list_(pa.string())),
-                    "anchor_labels_b": pa.array(data["anchor_labels_b"], pa.list_(pa.string())),
-                    "anchor_weights_a": pa.array(data["anchor_weights_a"], pa.list_(pa.float64())),
-                    "anchor_weights_b": pa.array(data["anchor_weights_b"], pa.list_(pa.float64())),
-                }
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        # stateless task: the broadcast side table comes zero-copy from the
+        # local object store; attachment is two vectorized pandas merges
+        table: pa.Table = ray.get(side_ref)
+        side_df = table.to_pandas()
+        out = batch[["conv_a", "conv_b", "block_id"]]
+        for sfx, key in (("_a", "conv_a"), ("_b", "conv_b")):
+            renamed = side_df.rename(
+                columns={c: c + sfx for c in SIDE_COLS}
             )
-            return t
+            out = out.merge(
+                renamed, left_on=key, right_on="conv_id", how="left"
+            ).drop(columns=["conv_id"])
+        return out
 
-    return pairs.map_batches(
-        Attach, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4), num_cpus=1
-    )
+    return pairs.map_batches(attach, batch_format="pandas", batch_size=8192)
 
 
 def _anchor_overlap(la, wa, lb, wb) -> float:
@@ -170,32 +147,30 @@ def score_pairs(joined: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
     """Joined pair rows → edge rows with features + linear score."""
     scfg = cfg.scoring
 
-    def score_batch(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        sig_a = batch["sig_a"].to_pylist()
-        sig_b = batch["sig_b"].to_pylist()
-        head_a = batch["text_head_a"].to_pylist()
-        head_b = batch["text_head_b"].to_pylist()
-        chars_a = batch["n_chars_a"].to_numpy(zero_copy_only=False).astype(np.float64)
-        chars_b = batch["n_chars_b"].to_numpy(zero_copy_only=False).astype(np.float64)
-        al_a = batch["anchor_labels_a"].to_pylist()
-        aw_a = batch["anchor_weights_a"].to_pylist()
-        al_b = batch["anchor_labels_b"].to_pylist()
-        aw_b = batch["anchor_weights_b"].to_pylist()
+    def score_batch(batch: pd.DataFrame) -> pa.Table:
+        n = len(batch)
+        sig_a = batch["sig_a"].to_numpy()
+        sig_b = batch["sig_b"].to_numpy()
+        head_a = batch["text_head_a"].to_numpy()
+        head_b = batch["text_head_b"].to_numpy()
+        chars_a = batch["n_chars_a"].to_numpy().astype(np.float64)
+        chars_b = batch["n_chars_b"].to_numpy().astype(np.float64)
+        al_a = batch["anchor_labels_a"].to_numpy()
+        aw_a = batch["anchor_weights_a"].to_numpy()
+        al_b = batch["anchor_labels_b"].to_numpy()
+        aw_b = batch["anchor_weights_b"].to_numpy()
 
         jac = np.empty(n)
         jw = np.empty(n)
-        lv = np.empty(n)
         ao = np.empty(n)
         for i in range(n):
             jac[i] = estimate_jaccard(
                 np.frombuffer(sig_a[i], dtype=np.uint64),
                 np.frombuffer(sig_b[i], dtype=np.uint64),
             )
-            a, b = head_a[i] or "", head_b[i] or ""
-            jw[i] = jaro_winkler(a, b, cap=JW_CAP)
-            lv[i] = levenshtein_ratio(a, b, cap=LEV_CAP)
+            jw[i] = jaro_winkler(head_a[i] or "", head_b[i] or "", cap=JW_CAP)
             ao[i] = _anchor_overlap(al_a[i], aw_a[i], al_b[i], aw_b[i])
+        lv = batch_levenshtein_ratio(head_a, head_b, cap=LEV_CAP)
         lo = np.minimum(chars_a, chars_b)
         hi = np.maximum(chars_a, chars_b)
         lr = np.where(hi > 0, lo / np.where(hi > 0, hi, 1.0), 1.0)
@@ -213,9 +188,9 @@ def score_pairs(joined: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
             score += (w / wsum) * feats[name]
         return pa.table(
             {
-                "conv_a": batch["conv_a"],
-                "conv_b": batch["conv_b"],
-                "block_id": batch["block_id"],
+                "conv_a": pa.array(batch["conv_a"].to_numpy(), pa.string()),
+                "conv_b": pa.array(batch["conv_b"].to_numpy(), pa.string()),
+                "block_id": pa.array(batch["block_id"].to_numpy(), pa.string()),
                 "jaccard_est": pa.array(jac),
                 "jaro_winkler": pa.array(jw),
                 "lev_ratio": pa.array(lv),
@@ -226,7 +201,7 @@ def score_pairs(joined: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
             }
         )
 
-    return joined.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
+    return joined.map_batches(score_batch, batch_format="pandas", batch_size=4096)
 
 
 def fit_weights(

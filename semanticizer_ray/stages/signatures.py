@@ -30,6 +30,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..config import EngineConfig
+from ..functions.groupagg import sorted_grouped_agg
 from ..functions.minhash import hash_params, shingle_hashes
 
 PROFILE_SCHEMA = pa.schema(
@@ -113,6 +114,7 @@ def conv_profiles(
 ) -> rd.Dataset:
     """Turn-level normalized transcripts → one profile row per conversation."""
     cap = cfg.blocking.max_profile_chars
+    num_hashes = cfg.blocking.num_hashes
 
     partials = normalized.map_batches(
         _TurnPartials,
@@ -125,23 +127,46 @@ def conv_profiles(
         num_cpus=1,
     )
 
-    def combine(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) == 1:  # fast path: conv fit in one batch (common case)
-            g = group
-        else:
-            g = group.sort_values("min_turn")
-        sigs = np.stack(
-            [np.frombuffer(s, dtype=np.uint64) for s in g["sig"].to_numpy()]
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized merge of per-(conv, batch) partials: elementwise-min
+        signatures via ``np.minimum.reduceat`` over group boundaries, ordered
+        head concat, count sums. Associative+commutative → composable
+        (sorted_grouped_agg contract)."""
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype="str"),
+                    "sig": pd.Series(dtype="object"),
+                    "text_head": pd.Series(dtype="str"),
+                    "n_turns": pd.Series(dtype="int64"),
+                    "n_chars": pd.Series(dtype="int64"),
+                    "min_turn": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["conv_id", "min_turn"], kind="stable")
+        conv = df["conv_id"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], conv[1:] != conv[:-1])))
+        mat = np.frombuffer(b"".join(df["sig"].to_numpy()), dtype=np.uint64).reshape(
+            len(df), num_hashes
         )
-        head = " ".join(g["text_head"].to_numpy())[:cap]
+        sig_min = np.minimum.reduceat(mat, starts, axis=0)
+        g = df.groupby("conv_id", sort=False)
+        heads = g["text_head"].agg(" ".join).str.slice(0, cap)
+        n_turns = g["n_turns"].sum()
+        n_chars = g["n_chars"].sum()
+        min_turn = g["min_turn"].min()
         return pd.DataFrame(
             {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "sig": [sigs.min(axis=0).tobytes()],
-                "text_head": [head],
-                "n_turns": [int(g["n_turns"].sum())],
-                "n_chars": [int(g["n_chars"].sum())],
+                "conv_id": conv[starts],
+                "sig": [sig_min[i].tobytes() for i in range(len(starts))],
+                "text_head": heads.loc[conv[starts]].to_numpy(),
+                "n_turns": n_turns.loc[conv[starts]].to_numpy(),
+                "n_chars": n_chars.loc[conv[starts]].to_numpy(),
+                "min_turn": min_turn.loc[conv[starts]].to_numpy(),
             }
         )
 
-    return partials.groupby("conv_id").map_groups(combine, batch_format="pandas")
+    out = sorted_grouped_agg(partials, "conv_id", combine, pre_combine=False)
+    return out.map_batches(
+        lambda df: df.drop(columns=["min_turn"]), batch_format="pandas"
+    )

@@ -64,6 +64,20 @@ def test_symmetry_and_range(a, b):
     assert 0.0 <= lv1 <= 1.0
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.tuples(st.text(max_size=40), st.text(max_size=40)), max_size=20)
+)
+def test_batch_levenshtein_matches_scalar(pairs):
+    from semanticizer_ray.functions.strings import batch_levenshtein_ratio
+
+    left = np.array([p[0] for p in pairs], dtype=object)
+    right = np.array([p[1] for p in pairs], dtype=object)
+    got = batch_levenshtein_ratio(left, right, cap=32)
+    for i, (a, b) in enumerate(pairs):
+        assert got[i] == pytest.approx(levenshtein_ratio(a, b, cap=32)), (a, b)
+
+
 def test_batch_pair_scores():
     left = np.array(["kitten", "abc", None], dtype=object)
     right = np.array(["sitting", "abc", "x"], dtype=object)
