@@ -56,7 +56,7 @@ def run_bench() -> dict:
     headline = time.perf_counter() - t0
     timings["er_clusters"] = round(headline, 3)
 
-    for name in [
+    extra = [
         "q1_pricing_summary",
         "q6_revenue",
         "top_revenue_orders",
@@ -70,7 +70,10 @@ def run_bench() -> dict:
         "simhash_docs",
         "knn_cosine",
         "doc_quality",
-    ]:
+    ]
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        extra = []
+    for name in extra:
         fn = CATALOG[name][0]
         t0 = time.perf_counter()
         fn(sf_dir)
@@ -91,7 +94,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

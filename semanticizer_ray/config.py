@@ -101,6 +101,12 @@ class ClusterConfig:
     max_rounds: int = 50
     # partition-local union-find contraction before the first global round
     local_contract: bool = True
+    # after contraction the edge count is KNOWN (counted, not assumed): at
+    # or below this many edges the components finish on the driver (exact
+    # union-find, no per-round shuffles); above it, distributed min-label
+    # rounds run. ~2M edges ≈ 100 MB — driver-safe; a 10^12-turn run with
+    # more surviving match edges takes the distributed path automatically.
+    driver_edge_threshold: int = 2_000_000
 
 
 @dataclass(frozen=True)
@@ -113,7 +119,9 @@ class EngineConfig:
     cluster: ClusterConfig = field(default_factory=ClusterConfig)
     # execution knobs
     batch_size: int = 4096
-    actor_concurrency: int = 4
+    # max actors per stateful pool (pools autoscale from 1, so results and
+    # small sessions are unaffected; raise for wide machines)
+    actor_concurrency: int = 12
 
     def config_hash(self) -> str:
         """Stable hash of the full config, recorded in lineage manifests."""

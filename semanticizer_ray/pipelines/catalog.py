@@ -307,15 +307,15 @@ DISTINCT_USERS_SQL = "SELECT count(DISTINCT user_id) AS n_users FROM events"
 
 
 def filter_high_quantity(sf_dir: str) -> pd.DataFrame:
-    """Plain vectorized filter + projection (row-level parity check)."""
+    """Spec-driven filter (reference FilterProcessor semantics, M6): the
+    spec string compiles once to a pyarrow.compute expression."""
+    from ..stages.filters import filter_dataset
+
     ds = read_table(
         _p(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"],
     )
-    out = ds.map_batches(
-        lambda t: t.filter(pc.greater(t["l_quantity"], pa.scalar(49.0))),
-        batch_format="pyarrow",
-    ).to_pandas()
+    out = filter_dataset(ds, "l_quantity > 49").to_pandas()
     return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
 
 
@@ -586,6 +586,20 @@ def embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def doc_stopword_removal(sf_dir: str) -> pd.DataFrame:
+    """M9 stopword remover + M8-style cleaning over documents (rows-only;
+    raw text column passes through untouched)."""
+    from ..stages.filters import clean_tweets, remove_stopwords
+    from ..stages.textstats import _STOPWORDS
+
+    ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    stop = set().union(*_STOPWORDS.values())
+    out = remove_stopwords(clean_tweets(ds), stop).to_pandas()
+    return out[["doc_id", "text", "clean_text", "content_text"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
 def media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: synthetic media table → decode/feature actor
     pool (deterministic fake decode; rows-only)."""
@@ -626,5 +640,6 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "doc_fingerprints": (doc_fingerprints, None),
     "knn_lsh_cosine": (knn_lsh_cosine, None),
     "embedding_neardup_pairs": (embedding_neardup_pairs, None),
+    "doc_stopword_removal": (doc_stopword_removal, None),
     "media_features": (media_features, None),
 }

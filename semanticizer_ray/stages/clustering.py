@@ -125,6 +125,60 @@ def cluster_edges(
     edges = edges.select_columns(["conv_a", "conv_b"])
     if cfg.cluster.local_contract:
         edges = local_contract(edges)
+    edges = edges.materialize()
+
+    # count-gated exact finish: after contraction the edge count is known;
+    # a small surviving edge set (typical — only MATCHED pairs survive
+    # scoring) finishes on the driver with exact union-find instead of
+    # paying multi-shuffle rounds. Large edge sets take the distributed
+    # path below (SURVEY.md §7: driver union-find only for provably small
+    # edge sets — "provably" = this count).
+    if edges.count() <= cfg.cluster.driver_edge_threshold:
+        edge_df = edges.to_pandas()
+        comp = unionfind_reference(
+            list(zip(edge_df["conv_a"], edge_df["conv_b"]))
+        )
+        if all_nodes is not None:
+            nodes_ds = all_nodes.select_columns(["conv_id"])
+        else:
+            nodes_ds = edges.map_batches(
+                lambda t: pa.table(
+                    {
+                        "conv_id": pa.concat_arrays(
+                            [
+                                t["conv_a"].combine_chunks(),
+                                t["conv_b"].combine_chunks(),
+                            ]
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        import ray
+
+        comp_ref = ray.put(comp)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            cmap = ray.get(comp_ref)
+            ids = batch["conv_id"].to_pylist()
+            return pa.table(
+                {
+                    "conv_id": pa.array(ids, pa.string()),
+                    "cluster_id": pa.array(
+                        [cmap.get(i, i) for i in ids], pa.string()
+                    ),
+                }
+            )
+
+        out = nodes_ds.map_batches(assign, batch_format="pyarrow")
+        if all_nodes is None:  # dedup endpoint rows
+            def dedup(df: pd.DataFrame) -> pd.DataFrame:
+                if len(df) == 0:
+                    return df
+                return df.drop_duplicates("conv_id")
+
+            out = sorted_grouped_agg(out, "conv_id", dedup, pre_combine=True)
+        return out
 
     # symmetric adjacency keyed by the node whose label will be scattered:
     # row (key=k, other=n) means "when k's label updates, tell n".

@@ -28,6 +28,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..config import EngineConfig
+from ..functions.groupagg import group_starts, sorted_apply_exact, sorted_grouped_agg
 from ..functions.minhash import band_hashes, estimate_jaccard, hash_params, minhash_signature
 
 
@@ -47,14 +48,17 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") 
             }
         )
 
-    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        r = group.loc[[group[id_col].idxmin()]]
-        return r[[id_col, text_col]]
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        out = df.loc[df.groupby("h", sort=False)[id_col].idxmin()]
+        return out
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(keep_min, batch_format="pandas")
+    out = sorted_grouped_agg(
+        ds.map_batches(add_hash, batch_format="pyarrow"), "h", keep_min
+    )
+    return out.map_batches(
+        lambda df: df[[id_col, text_col]], batch_format="pandas"
     )
 
 
@@ -110,23 +114,42 @@ def minhash_dedup(
         num_cpus=1,
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc").sort_values("doc")
-        over = max(0, len(g) - max_bucket)
-        g = g.head(max_bucket)
-        ids = g["doc"].to_numpy()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
-        src, dst = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if estimate_jaccard(sigs[i], sigs[j]) >= jaccard_threshold:
-                    src.append(int(ids[i]))
-                    dst.append(int(ids[j]))
+    def bucket_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        src, dst, overs = [], [], []
+        if len(df):
+            df = df.drop_duplicates(["bucket", "doc"]).sort_values(["bucket", "doc"])
+            buckets = df["bucket"].to_numpy()
+            ids = df["doc"].to_numpy()
+            sig_col = df["sig"].to_numpy()
+            starts = np.append(group_starts(buckets), len(df))
+            for gi in range(len(starts) - 1):
+                lo, hi = starts[gi], starts[gi + 1]
+                over = max(0, (hi - lo) - max_bucket)
+                hi = min(hi, lo + max_bucket)
+                # full-signature Jaccard for every in-bucket pair, one matmul-free
+                # vectorized comparison per bucket
+                sigs = np.frombuffer(
+                    b"".join(sig_col[lo:hi]), dtype=np.uint64
+                ).reshape(hi - lo, -1)
+                n = hi - lo
+                if n < 2:
+                    continue
+                iu, ju = np.triu_indices(n, k=1)
+                eq = (sigs[iu] == sigs[ju]).mean(axis=1)
+                keep = eq >= jaccard_threshold
+                for i, j in zip(iu[keep], ju[keep]):
+                    src.append(int(ids[lo + i]))
+                    dst.append(int(ids[lo + j]))
+                    overs.append(over)
         return pd.DataFrame(
-            {"src": src, "dst": dst, "bucket_overflow": [over] * len(src)}
+            {
+                "src": pd.Series(src, dtype="int64"),
+                "dst": pd.Series(dst, dtype="int64"),
+                "bucket_overflow": pd.Series(overs, dtype="int64"),
+            }
         )
 
-    edges = sig_rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    edges = sorted_apply_exact(sig_rows, "bucket", bucket_pairs_block)
 
     # connected components over int ids via the string machinery (T9)
     def to_str(batch: pa.Table) -> pa.Table:
@@ -196,12 +219,19 @@ def simhash_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
     """Exact-simhash duplicate groups: (doc_id, dup_group = min id in group)."""
     sh = simhash(ds, id_col, text_col)
 
-    def keep_group(group: pd.DataFrame) -> pd.DataFrame:
+    def keep_group_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"), "dup_group": pd.Series(dtype="int64")}
+            )
         return pd.DataFrame(
-            {id_col: group[id_col], "dup_group": group[id_col].min()}
+            {
+                id_col: df[id_col],
+                "dup_group": df.groupby("simhash", sort=False)[id_col].transform("min"),
+            }
         )
 
-    return sh.groupby("simhash").map_groups(keep_group, batch_format="pandas")
+    return sorted_apply_exact(sh, "simhash", keep_group_block)
 
 
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
@@ -255,21 +285,36 @@ def embedding_dedup(
 
     rows = ds.map_batches(bucketize, batch_format="pyarrow")
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc").sort_values("doc").head(max_bucket)
-        ids = g["doc"].to_numpy()
-        V = np.asarray([np.asarray(v, dtype=np.float64) for v in g["vec"]])
-        norms = np.linalg.norm(V, axis=1)
-        norms[norms == 0] = 1.0
-        Vn = V / norms[:, None]
-        C = Vn @ Vn.T
+    def verify_block(df: pd.DataFrame) -> pd.DataFrame:
         src, dst, cos = [], [], []
-        iu, ju = np.triu_indices(len(ids), k=1)
-        mask = C[iu, ju] >= cosine_threshold
-        for i, j, c in zip(iu[mask], ju[mask], C[iu, ju][mask]):
-            src.append(int(ids[i]))
-            dst.append(int(ids[j]))
-            cos.append(float(c))
-        return pd.DataFrame({"src": src, "dst": dst, "cosine": cos})
+        if len(df):
+            df = df.drop_duplicates(["bucket", "doc"]).sort_values(["bucket", "doc"])
+            buckets = df["bucket"].to_numpy()
+            ids = df["doc"].to_numpy()
+            vec_col = df["vec"].to_numpy()
+            starts = np.append(group_starts(buckets), len(df))
+            for gi in range(len(starts) - 1):
+                lo, hi = starts[gi], min(starts[gi + 1], starts[gi] + max_bucket)
+                n = hi - lo
+                if n < 2:
+                    continue
+                V = np.asarray([np.asarray(v, dtype=np.float64) for v in vec_col[lo:hi]])
+                norms = np.linalg.norm(V, axis=1)
+                norms[norms == 0] = 1.0
+                Vn = V / norms[:, None]
+                C = Vn @ Vn.T
+                iu, ju = np.triu_indices(n, k=1)
+                mask = C[iu, ju] >= cosine_threshold
+                for i, j, c in zip(iu[mask], ju[mask], C[iu, ju][mask]):
+                    src.append(int(ids[lo + i]))
+                    dst.append(int(ids[lo + j]))
+                    cos.append(float(c))
+        return pd.DataFrame(
+            {
+                "src": pd.Series(src, dtype="int64"),
+                "dst": pd.Series(dst, dtype="int64"),
+                "cosine": pd.Series(cos, dtype="float64"),
+            }
+        )
 
-    return rows.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return sorted_apply_exact(rows, "bucket", verify_block)

@@ -24,16 +24,21 @@ def test_unionfind_reference():
         assert got == want, name
 
 
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0])  # driver / distributed
 @pytest.mark.parametrize("local_contract", [True, False])
 @pytest.mark.parametrize("case", list(CASES))
-def test_cluster_edges_micro(ray_session, case, local_contract):
+def test_cluster_edges_micro(ray_session, case, local_contract, driver_threshold):
     import ray.data as rd
 
     edges, want = CASES[case]
     ds = rd.from_pandas(
         pd.DataFrame({"conv_a": [e[0] for e in edges], "conv_b": [e[1] for e in edges]})
     )
-    cfg = EngineConfig(cluster=ClusterConfig(local_contract=local_contract))
+    cfg = EngineConfig(
+        cluster=ClusterConfig(
+            local_contract=local_contract, driver_edge_threshold=driver_threshold
+        )
+    )
     out = cluster_edges(ds, None, cfg).to_pandas()
     got = dict(zip(out["conv_id"], out["cluster_id"]))
     assert got == want, case
@@ -51,7 +56,8 @@ def test_cluster_singletons_and_partition(ray_session):
     assert out["conv_id"].is_unique
 
 
-def test_cluster_matches_reference_random(ray_session):
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
+def test_cluster_matches_reference_random(ray_session, driver_threshold):
     """Random graph: distributed result == driver union-find."""
     import numpy as np
     import ray.data as rd
@@ -68,7 +74,8 @@ def test_cluster_matches_reference_random(ray_session):
         pd.DataFrame({"conv_a": [e[0] for e in edges], "conv_b": [e[1] for e in edges]})
     )
     nd = rd.from_pandas(pd.DataFrame({"conv_id": nodes}))
-    out = cluster_edges(ds, nd, EngineConfig()).to_pandas()
+    cfg = EngineConfig(cluster=ClusterConfig(driver_edge_threshold=driver_threshold))
+    out = cluster_edges(ds, nd, cfg).to_pandas()
     got = dict(zip(out["conv_id"], out["cluster_id"]))
     assert got == want
 
