@@ -119,9 +119,10 @@ class EngineConfig:
     cluster: ClusterConfig = field(default_factory=ClusterConfig)
     # execution knobs
     batch_size: int = 4096
-    # max actors per stateful pool (pools autoscale from 1, so results and
-    # small sessions are unaffected; raise for wide machines)
-    actor_concurrency: int = 12
+    # max actors per stateful pool (pools autoscale from 1 and are further
+    # capped at session CPUs − 2, so results and small sessions are
+    # unaffected; the cap only binds on very wide machines)
+    actor_concurrency: int = 30
 
     def config_hash(self) -> str:
         """Stable hash of the full config, recorded in lineage manifests."""

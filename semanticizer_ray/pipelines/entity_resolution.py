@@ -1,14 +1,15 @@
 """The flagship pipeline: transcripts → clusters (north_rule three stages).
 
-    read → normalize (T2) → ┬→ mentions (T3, actor pool) → anchor summaries ┐
-                            └→ conv profiles (T5) ────────┬─────────────────┤
-                                                          │   blocking keys (T6)
-                                                          │        ↓
-                                                side table│   candidate pairs (T7, salted shuffle)
-                                                          └──→ attach + score (T8)
-                                                                   ↓
-                                                          cluster_edges (T9)
+    read → normalize (T2) → conv profiles (T5, one actor-pool pass that
+                            also runs the anchor matcher T3 in-actor)
+                               ├→ LSH band keys + anchor keys (T6)
+                               │        ↓
+                               │   candidate pairs (T7, salted shuffle)
+                               └──→ attach + score (T8)
+                                        ↓
+                                   cluster_edges (T9)
 
+One read, one actor pool, one conv-keyed shuffle feed the whole of stage 1.
 Per-turn ``text`` is never touched; final outputs are sorted by
 (conv_id, turn_idx) where ordering matters (north_rule invariant).
 """
@@ -22,20 +23,17 @@ from typing import Any
 import ray.data as rd
 
 from ..config import EngineConfig
-from ..stages.blocking import anchor_block_keys, anchor_summaries, lsh_block_keys
+from ..stages.blocking import anchor_block_keys, lsh_block_keys
 from ..stages.clustering import cluster_edges
-from ..stages.mentions import extract_mentions
 from ..stages.normalize_turns import normalize_turns
 from ..stages.pairs import candidate_pairs
-from ..stages.scoring import attach_profiles, build_side_table, score_pairs
+from ..stages.scoring import build_side_state, score_pairs_fused
 from ..stages.signatures import conv_profiles
 
 
 @dataclass
 class ERResult:
-    profiles: rd.Dataset
-    mentions: rd.Dataset | None
-    summaries: rd.Dataset | None
+    profiles: rd.Dataset  # includes anchor summary + blocking-key columns
     pairs: rd.Dataset
     edges: rd.Dataset
     clusters: rd.Dataset
@@ -51,29 +49,21 @@ def resolve_entities(
     ObjectRef / parquet path for the anchor dictionary; None disables the
     anchor-feature path (LSH-only blocking, no anchor-overlap feature)."""
     normalized = normalize_turns(transcripts, cfg)
-    profiles = conv_profiles(normalized, cfg).materialize()
+    profiles = conv_profiles(normalized, cfg, dict_source=anchor_dict_source).materialize()
 
     keys = lsh_block_keys(profiles, cfg)
-    summaries = None
     if anchor_dict_source is not None:
-        mentions = extract_mentions(normalized, anchor_dict_source, cfg)
-        summaries = anchor_summaries(mentions, cfg).materialize()
-        keys = keys.union(anchor_block_keys(summaries, cfg))
-    else:
-        mentions = None
+        keys = keys.union(anchor_block_keys(profiles, cfg))
 
     pairs = candidate_pairs(keys, cfg)
 
-    side = build_side_table(profiles, summaries, num_partitions)
-    joined = attach_profiles(pairs, side, num_partitions)
-    edges = score_pairs(joined, cfg).materialize()
+    side_state = build_side_state(profiles)
+    edges = score_pairs_fused(pairs, side_state, cfg).materialize()
     clusters = cluster_edges(
         edges, profiles.select_columns(["conv_id"]), cfg, num_partitions
     )
     return ERResult(
         profiles=profiles,
-        mentions=mentions,
-        summaries=summaries,
         pairs=pairs,
         edges=edges,
         clusters=clusters,
@@ -94,7 +84,6 @@ def resolve_entities_checkpointed(
 
     Stage graph and lineage chain (fingerprints feed forward):
         transcripts ─ profiles ─ keys+pairs ─ edges ─ clusters
-                    └ summaries ┘
     """
     import glob
 
@@ -119,38 +108,25 @@ def resolve_entities_checkpointed(
     prof = ck.stage(
         "profiles",
         in_fp,
-        lambda: conv_profiles(normalize_turns(transcripts(), cfg), cfg),
+        lambda: conv_profiles(
+            normalize_turns(transcripts(), cfg), cfg, dict_source=dict_table
+        ),
     )
-
-    if dict_table is not None:
-        summ = ck.stage(
-            "summaries",
-            in_fp,
-            lambda: anchor_summaries(
-                extract_mentions(normalize_turns(transcripts(), cfg), dict_table, cfg),
-                cfg,
-            ),
-        )
-        summaries = summ.dataset
-        summ_fp = summ.fingerprint
-    else:
-        summaries, summ_fp = None, "none"
 
     def make_pairs() -> rd.Dataset:
         keys = lsh_block_keys(prof.dataset, cfg)
-        if summaries is not None:
-            keys = keys.union(anchor_block_keys(summaries, cfg))
+        if dict_table is not None:
+            keys = keys.union(anchor_block_keys(prof.dataset, cfg))
         return candidate_pairs(keys, cfg)
 
-    pairs = ck.stage("pairs", f"{prof.fingerprint}+{summ_fp}", make_pairs)
+    pairs = ck.stage("pairs", prof.fingerprint, make_pairs)
 
     def make_edges() -> rd.Dataset:
-        side = build_side_table(prof.dataset, summaries, num_partitions)
-        joined = attach_profiles(pairs.dataset, side, num_partitions)
-        return score_pairs(joined, cfg)
+        side_state = build_side_state(prof.dataset)
+        return score_pairs_fused(pairs.dataset, side_state, cfg)
 
     edges = ck.stage(
-        "edges", f"{pairs.fingerprint}+{prof.fingerprint}+{summ_fp}", make_edges
+        "edges", f"{pairs.fingerprint}+{prof.fingerprint}", make_edges
     )
 
     clusters = ck.stage(

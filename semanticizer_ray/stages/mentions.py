@@ -75,6 +75,39 @@ class AnchorMatcher:
         self.max_n = min(cfg.anchor.max_ngram, self.dict.max_words)
         self.ncfg = cfg.normalize
 
+    def count_labels_normtext(self, norm_text: str) -> dict[str, tuple[int, float, int]]:
+        """Fast anchor counting over ALREADY-NORMALIZED text: label →
+        (count, link_probability, link_doc).
+
+        Skips span bookkeeping and per-n-gram normalization (the text is
+        normalized once upstream; n-grams of its ``\\w+`` tokens are already
+        in dictionary-normal form). Used by the profile pass, where spans
+        are irrelevant. Edge note: tokens that normalization SPLITS
+        (underscores, ligatures) count as their split parts here, unlike
+        the span-accurate path — consistent within the pipeline since both
+        sides of every comparison use this path.
+        """
+        from ..functions.normalize import _TOKEN
+
+        toks = _TOKEN.findall(norm_text)
+        out: dict[str, tuple[int, float, int]] = {}
+        lookup = self.dict.lookup
+        max_n = self.max_n
+        n_tok = len(toks)
+        for i in range(n_tok):
+            for n in range(1, max_n + 1):
+                if i + n > n_tok:
+                    break
+                surface = " ".join(toks[i : i + n])
+                for e in lookup(surface):
+                    lab = e["label"]
+                    if lab in out:
+                        c, lp, ld = out[lab]
+                        out[lab] = (c + 1, lp, ld)
+                    else:
+                        out[lab] = (1, e["link_probability"], e["link_doc"])
+        return out
+
     def _candidates_for_text(self, text: str) -> list[tuple[int, int, str, dict]]:
         """(start, end, surface, dict entry) for every matching n-gram."""
         toks = tokenize_with_spans(text)

@@ -52,11 +52,15 @@ def _stable_hash(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
 
 
-def block_census(block_rows: rd.Dataset, cfg: EngineConfig) -> dict[str, int]:
+def block_census(
+    block_rows: rd.Dataset, cfg: EngineConfig, include_anchor_cap: bool = False
+) -> dict[str, int]:
     """Hot blocking keys → member count. Small driver-side dict (only keys
-    above ``max_block_size``)."""
+    above the smallest relevant cap)."""
     cap = cfg.blocking.max_block_size
-    counts = grouped_count(block_rows, "block_key")
+    if include_anchor_cap:
+        cap = min(cap, cfg.blocking.anchor_max_block_size)
+    counts = grouped_count(block_rows, "block_key", driver_gate=5_000_000)
     hot = counts.map_batches(
         lambda df: df[df["n"] > cap], batch_format="pandas"
     ).to_pandas()
@@ -66,14 +70,35 @@ def block_census(block_rows: rd.Dataset, cfg: EngineConfig) -> dict[str, int]:
 
 
 def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
-    """(block_key, conv_id) rows → deduplicated (conv_a, conv_b) pairs."""
+    """(block_key, conv_id) rows → deduplicated (conv_a, conv_b) pairs.
+
+    One census covers both key families: LSH keys over the cap are SALTED
+    (exact pair coverage must be preserved — a hot band is still a real
+    near-dup signal); anchor "A:" keys over ``anchor_max_block_size`` are
+    DROPPED with a log line (a non-discriminative anchor is noise — see
+    BlockingConfig)."""
     bcfg = cfg.blocking
     # keys are consumed twice (census + explode): pin them once
     block_rows = block_rows.materialize()
-    hot = block_census(block_rows, cfg)
-    hot_ref = ray.put(
-        {k: min(MAX_SALT, -(-n // bcfg.max_block_size)) for k, n in hot.items()}
-    )
+    hot = block_census(block_rows, cfg, include_anchor_cap=True)
+    anchor_cap = bcfg.anchor_max_block_size
+    dropped = [k for k, n in hot.items() if k.startswith("A:") and n > anchor_cap]
+    if dropped:
+        worst = max(hot[k] for k in dropped)
+        print(
+            f"[blocking] dropping {len(dropped)} anchor keys above cap "
+            f"{anchor_cap} (max block {worst})"
+        )
+    plan = {}
+    for k, n in hot.items():
+        if k.startswith("A:"):
+            if n > anchor_cap:
+                plan[k] = 0  # drop
+            elif n > bcfg.max_block_size:
+                plan[k] = min(MAX_SALT, -(-n // bcfg.max_block_size))
+        elif n > bcfg.max_block_size:
+            plan[k] = min(MAX_SALT, -(-n // bcfg.max_block_size))
+    hot_ref = ray.put(plan)
 
     def salt_explode(batch: pa.Table) -> pa.Table:
         hot_map: dict[str, int] = ray.get(hot_ref)
@@ -84,9 +109,11 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
         out_key, out_conv = [], []
         for key, conv in zip(keys, convs):
             s = hot_map.get(key)
-            if s is None or s <= 1:
+            if s is None or s == 1:
                 out_key.append(key)
                 out_conv.append(conv)
+            elif s == 0:
+                continue  # dropped non-discriminative anchor key
             else:
                 i = _stable_hash(conv) % s
                 for j in range(s):
@@ -107,16 +134,35 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
     def gen_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
         """All complete key groups of one block → pair rows (vectorized
         group iteration via boundary indices; the inner all-pairs loop is
-        bounded by the salt cap)."""
+        bounded by the salt cap). Size-1 groups (the vast majority of LSH
+        bands) are skipped wholesale; size-2 unsalted groups emit their
+        single pair vectorized — only size≥3 or salted groups loop."""
         out_pk: list[str] = []
         out_block: list[str] = []
         out_over: list[int] = []
         if len(df):
+            df = df.sort_values(["block_key", "conv_id"], kind="stable")
             keys = df["block_key"].to_numpy()
             convs = df["conv_id"].to_numpy()
             starts = group_starts(keys)
             bounds = np.append(starts, len(df))
-            for gi in range(len(starts)):
+            sizes = np.diff(bounds)
+            # fast path: exactly-2-member unsalted groups → one pair each
+            two = np.flatnonzero(sizes == 2)
+            slow_from_two: list[int] = []
+            if len(two):
+                lo2 = bounds[two]
+                k2 = keys[lo2]
+                a2 = convs[lo2]
+                b2 = convs[lo2 + 1]
+                plain = np.array(["#s" not in k for k in k2], dtype=bool)
+                keep2 = plain & (a2 != b2)
+                out_pk.extend(f"{a}|{b}" for a, b in zip(a2[keep2], b2[keep2]))
+                out_block.extend(k2[keep2])
+                out_over.extend([0] * int(keep2.sum()))
+                slow_from_two = list(two[~plain])  # salted size-2 → loop
+            slow = list(np.flatnonzero(sizes > 2)) + slow_from_two
+            for gi in slow:
                 lo_i, hi_i = bounds[gi], bounds[gi + 1]
                 key = keys[lo_i]
                 members = sorted(set(convs[lo_i:hi_i]))
@@ -163,7 +209,9 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
             .reset_index()
         )
 
-    deduped = sorted_grouped_agg(all_pairs, "pair_key", dedup_combine)
+    deduped = sorted_grouped_agg(
+        all_pairs, "pair_key", dedup_combine, driver_gate=5_000_000
+    )
 
     def split_key(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:

@@ -60,6 +60,9 @@ EDGE_SCHEMA = pa.schema(
 
 FEATURE_NAMES = ["jaccard_est", "jaro_winkler", "lev_ratio", "anchor_overlap", "len_ratio"]
 
+# per-worker-process cache for the broadcast side table (pandas form)
+_SIDE_CACHE: dict = {}
+
 # Edit-metric caps: Jaro is O(n²) pure Python (~0.5 ms at 64 chars, ~30 ms
 # at 256), so it runs on a short prefix — the full-text signal comes from
 # the MinHash Jaccard estimate; Levenshtein's inner loop is numpy-vectorized
@@ -71,34 +74,33 @@ JW_CAP = 64
 SIDE_COLS = ["sig", "text_head", "n_chars", "anchor_labels", "anchor_weights"]
 
 
-def build_side_table(
-    profiles: rd.Dataset, summaries: rd.Dataset | None, num_partitions: int = 16
-) -> pa.Table:
-    """Profiles ⟕ anchor summaries on conv_id → small per-conv side table
-    (materialized pa.Table — one short row per conversation)."""
+def build_side_table(profiles: rd.Dataset, num_partitions: int = 16) -> pa.Table:
+    """Profile rows (which carry the anchor summary columns) → small
+    per-conv side table (materialized pa.Table, one short row per conv).
+
+    ``text_head`` is truncated to the scoring caps (the edit metrics never
+    read past LEV_CAP chars) so the broadcast payload stays ~sig-sized."""
     import pandas as _pd
 
-    pdf = profiles.select_columns(["conv_id", "sig", "text_head", "n_chars"]).to_pandas()
+    def shrink(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        head = _pc.utf8_slice_codeunits(batch["text_head"], 0, max(LEV_CAP, JW_CAP))
+        return batch.set_column(
+            batch.column_names.index("text_head"), "text_head", head
+        )
+
+    pdf = (
+        profiles.select_columns(["conv_id"] + SIDE_COLS)
+        .map_batches(shrink, batch_format="pyarrow")
+        .to_pandas()
+    )
     if pdf.empty:  # empty datasets lose their schema through to_pandas
-        pdf = _pd.DataFrame(
-            {"conv_id": [], "sig": [], "text_head": [], "n_chars": []}
-        )
-    if summaries is not None:
-        sdf = (
-            summaries.select_columns(["conv_id", "anchor_labels", "anchor_weights"])
-            .to_pandas()
-        )
-        pdf = pdf.merge(sdf, on="conv_id", how="left")
-        # left-miss → empty lists
-        pdf["anchor_labels"] = pdf["anchor_labels"].apply(
+        pdf = _pd.DataFrame({c: [] for c in ["conv_id"] + SIDE_COLS})
+    for col in ("anchor_labels", "anchor_weights"):
+        pdf[col] = pdf[col].apply(
             lambda v: list(v) if isinstance(v, (list, np.ndarray)) else []
         )
-        pdf["anchor_weights"] = pdf["anchor_weights"].apply(
-            lambda v: list(v) if isinstance(v, (list, np.ndarray)) else []
-        )
-    else:
-        pdf["anchor_labels"] = [[] for _ in range(len(pdf))]
-        pdf["anchor_weights"] = [[] for _ in range(len(pdf))]
     return pa.Table.from_pandas(pdf[["conv_id"] + SIDE_COLS], preserve_index=False)
 
 
@@ -113,17 +115,20 @@ def attach_profiles(pairs: rd.Dataset, side: Any, num_partitions: int = 16) -> r
     side_ref = side if isinstance(side, ray.ObjectRef) else ray.put(side)
 
     def attach(batch: pd.DataFrame) -> pd.DataFrame:
-        # stateless task: the broadcast side table comes zero-copy from the
-        # local object store; attachment is two vectorized pandas merges
-        table: pa.Table = ray.get(side_ref)
-        side_df = table.to_pandas()
+        # stateless task + per-worker cache: the broadcast side table comes
+        # zero-copy from the local object store and is converted to pandas
+        # once per worker, not per batch; attachment is two vectorized merges
+        key = ("attach_side", side_ref.hex())
+        side_df = _SIDE_CACHE.get(key)
+        if side_df is None:
+            side_df = ray.get(side_ref).to_pandas()
+            _SIDE_CACHE.clear()
+            _SIDE_CACHE[key] = side_df
         out = batch[["conv_a", "conv_b", "block_id"]]
-        for sfx, key in (("_a", "conv_a"), ("_b", "conv_b")):
-            renamed = side_df.rename(
-                columns={c: c + sfx for c in SIDE_COLS}
-            )
+        for sfx, mkey in (("_a", "conv_a"), ("_b", "conv_b")):
+            renamed = side_df.rename(columns={c: c + sfx for c in SIDE_COLS})
             out = out.merge(
-                renamed, left_on=key, right_on="conv_id", how="left"
+                renamed, left_on=mkey, right_on="conv_id", how="left"
             ).drop(columns=["conv_id"])
         return out
 
@@ -143,6 +148,183 @@ def _anchor_overlap(la, wa, lb, wb) -> float:
     return shared_w / union_w
 
 
+# score cascade band: pairs whose signature Jaccard estimate falls OUTSIDE
+# (CASCADE_LO, CASCADE_HI) skip the O(n²) edit metrics and use the Jaccard
+# estimate as the jw/lev value — part of the DEFINED scoring semantics
+# (pipeline and every oracle share it via compute_pair_features). Decisions
+# are unaffected at the default weights:
+# Low side is conservative (0.08): proxying jw=lev=jac there caps the score
+# at ~0.23 < the 0.55 threshold AND real edit similarity for such disjoint
+# shingle sets cannot plausibly rescue a pair; high side 0.90 floors the
+# score at ~0.72 > threshold (match either way).
+CASCADE_LO = 0.08
+CASCADE_HI = 0.90
+
+
+def compute_pair_features(
+    sig_a: bytes,
+    sig_b: bytes,
+    head_a: str,
+    head_b: str,
+    n_chars_a: float,
+    n_chars_b: float,
+    anchor_labels_a,
+    anchor_weights_a,
+    anchor_labels_b,
+    anchor_weights_b,
+) -> dict[str, float]:
+    """Per-pair feature vector — the single definition shared by the
+    pipeline (vectorized over batches) and the driver-side test oracles."""
+    jac = estimate_jaccard(
+        np.frombuffer(sig_a, dtype=np.uint64), np.frombuffer(sig_b, dtype=np.uint64)
+    )
+    if CASCADE_LO < jac < CASCADE_HI:
+        jw = jaro_winkler(head_a or "", head_b or "", cap=JW_CAP)
+        lv = levenshtein_ratio(head_a or "", head_b or "", cap=LEV_CAP)
+    else:
+        jw = lv = jac
+    hi = max(n_chars_a, n_chars_b, 1.0)
+    return {
+        "jaccard_est": jac,
+        "jaro_winkler": jw,
+        "lev_ratio": lv,
+        "anchor_overlap": _anchor_overlap(
+            anchor_labels_a, anchor_weights_a, anchor_labels_b, anchor_weights_b
+        ),
+        "len_ratio": min(n_chars_a, n_chars_b) / hi,
+    }
+
+
+MAX_SIDE_ANCHORS = 16
+
+
+def _label_hash64(s: str) -> int:
+    import hashlib as _hl
+
+    return int.from_bytes(_hl.md5(s.encode()).digest()[:8], "little", signed=True) or 1
+
+
+def build_side_state(profiles: rd.Dataset):
+    """Driver-side broadcast state for the fused scorer — ALL numpy so every
+    worker reads it ZERO-COPY from the object store (lists/dicts would be
+    re-pickled per worker, which dominated the old attach stage):
+
+    (conv_ids sorted S-array, sig_mat uint64[n,H], heads U-array,
+     chars f8[n], anchor_hash int64[n,M], anchor_w f8[n,M])
+
+    Row lookup is a vectorized ``np.searchsorted``; anchor overlap works on
+    fixed-width label-hash matrices."""
+    import ray
+
+    table = build_side_table(profiles)
+    convs = np.asarray(table["conv_id"].to_pylist(), dtype="S")
+    order = np.argsort(convs)
+    convs = convs[order]
+    n = len(convs)
+    sigs = table["sig"].to_pylist()
+    sig_mat = (
+        np.frombuffer(b"".join(sigs), dtype=np.uint64).reshape(n, -1)[order]
+        if n
+        else np.empty((0, 0), dtype=np.uint64)
+    )
+    heads_raw = table["text_head"].to_pylist()
+    heads = np.asarray(heads_raw, dtype="U")[order] if n else np.empty(0, dtype="U1")
+    chars = np.asarray(table["n_chars"].to_pylist(), dtype=np.float64)[order] if n else np.empty(0)
+    labels = table["anchor_labels"].to_pylist()
+    weights = table["anchor_weights"].to_pylist()
+    a_hash = np.zeros((n, MAX_SIDE_ANCHORS), dtype=np.int64)
+    a_w = np.zeros((n, MAX_SIDE_ANCHORS), dtype=np.float64)
+    for new_row, old_row in enumerate(order):
+        ls = labels[old_row] or []
+        ws = weights[old_row] or []
+        for k, (lab, w) in enumerate(zip(ls, ws)):
+            if k >= MAX_SIDE_ANCHORS:
+                break
+            a_hash[new_row, k] = _label_hash64(lab)
+            a_w[new_row, k] = w
+    return ray.put((convs, sig_mat, heads, chars, a_hash, a_w))
+
+
+def score_pairs_fused(pairs: rd.Dataset, side_state, cfg: EngineConfig) -> rd.Dataset:
+    """Deduplicated pairs + broadcast side state → scored edges, one fused
+    stateless stage. Vectorized throughout: Jaccard = row equality over the
+    signature matrix, anchor overlap = broadcast hash-matrix intersection,
+    cascade gates the O(n²) edit metrics to contested pairs only."""
+    import ray
+
+    scfg = cfg.scoring
+    wsum = sum(scfg.weights.values()) or 1.0
+    w_vec = {k: v / wsum for k, v in scfg.weights.items()}
+
+    def score(batch: pa.Table) -> pa.Table:
+        key = ("side_state", side_state.hex())
+        st = _SIDE_CACHE.get(key)
+        if st is None:
+            st = ray.get(side_state)
+            _SIDE_CACHE.clear()
+            _SIDE_CACHE[key] = st
+        convs, sig_mat, heads, chars, a_hash, a_w = st
+        n = batch.num_rows
+        ca_arr = np.asarray(batch["conv_a"].to_pylist(), dtype=convs.dtype if len(convs) else "S1")
+        cb_arr = np.asarray(batch["conv_b"].to_pylist(), dtype=convs.dtype if len(convs) else "S1")
+        ia = np.searchsorted(convs, ca_arr)
+        ib = np.searchsorted(convs, cb_arr)
+        if n:
+            jac = (sig_mat[ia] == sig_mat[ib]).mean(axis=1)
+            ca, cb = chars[ia], chars[ib]
+            # anchor overlap on fixed-width hash matrices: match[i,j,k] ⇔
+            # hash j of a == hash k of b (0 = padding, never matches)
+            A, B = a_hash[ia], a_hash[ib]
+            WA, WB = a_w[ia], a_w[ib]
+            match = (A[:, :, None] == B[:, None, :]) & (A[:, :, None] != 0)
+            shared = (WA[:, :, None] * match).sum(axis=(1, 2)) + (
+                WB[:, None, :] * match
+            ).sum(axis=(1, 2))
+            union = WA.sum(axis=1) + WB.sum(axis=1)
+            ao = np.where(union > 0, shared / np.where(union > 0, union, 1.0), 0.0)
+        else:
+            jac = np.empty(0)
+            ca = cb = ao = np.empty(0)
+        hi = np.maximum(np.maximum(ca, cb), 1.0)
+        lr = np.minimum(ca, cb) / hi
+        jw = jac.copy()
+        lv = jac.copy()
+        band = np.flatnonzero((jac > CASCADE_LO) & (jac < CASCADE_HI))
+        if len(band):
+            ha = heads[ia[band]]
+            hb = heads[ib[band]]
+            for k, i in enumerate(band):
+                jw[i] = jaro_winkler(str(ha[k]), str(hb[k]), cap=JW_CAP)
+            lv[band] = batch_levenshtein_ratio(
+                np.asarray(ha, dtype=object), np.asarray(hb, dtype=object), cap=LEV_CAP
+            )
+        score_v = np.full(n, scfg.bias, dtype=np.float64)
+        for name, arr in (
+            ("jaccard_est", jac),
+            ("jaro_winkler", jw),
+            ("lev_ratio", lv),
+            ("anchor_overlap", ao),
+            ("len_ratio", lr),
+        ):
+            score_v += w_vec[name] * arr
+        return pa.table(
+            {
+                "conv_a": batch["conv_a"],
+                "conv_b": batch["conv_b"],
+                "block_id": batch["block_id"],
+                "jaccard_est": pa.array(jac),
+                "jaro_winkler": pa.array(jw),
+                "lev_ratio": pa.array(lv),
+                "anchor_overlap": pa.array(ao),
+                "len_ratio": pa.array(lr),
+                "score": pa.array(score_v),
+                "is_match": pa.array(score_v >= scfg.threshold),
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
 def score_pairs(joined: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
     """Joined pair rows → edge rows with features + linear score."""
     scfg = cfg.scoring
@@ -160,17 +342,26 @@ def score_pairs(joined: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
         al_b = batch["anchor_labels_b"].to_numpy()
         aw_b = batch["anchor_weights_b"].to_numpy()
 
-        jac = np.empty(n)
-        jw = np.empty(n)
+        # vectorized jaccard: unpack all signatures as one (n, H) matrix
+        if n:
+            A = np.frombuffer(b"".join(sig_a), dtype=np.uint64).reshape(n, -1)
+            B = np.frombuffer(b"".join(sig_b), dtype=np.uint64).reshape(n, -1)
+            jac = (A == B).mean(axis=1)
+        else:
+            jac = np.empty(0)
         ao = np.empty(n)
         for i in range(n):
-            jac[i] = estimate_jaccard(
-                np.frombuffer(sig_a[i], dtype=np.uint64),
-                np.frombuffer(sig_b[i], dtype=np.uint64),
-            )
-            jw[i] = jaro_winkler(head_a[i] or "", head_b[i] or "", cap=JW_CAP)
             ao[i] = _anchor_overlap(al_a[i], aw_a[i], al_b[i], aw_b[i])
-        lv = batch_levenshtein_ratio(head_a, head_b, cap=LEV_CAP)
+        # cascade: exact edit metrics only for contested pairs
+        jw = jac.copy()
+        lv = jac.copy()
+        band = np.flatnonzero((jac > CASCADE_LO) & (jac < CASCADE_HI))
+        if len(band):
+            for i in band:
+                jw[i] = jaro_winkler(head_a[i] or "", head_b[i] or "", cap=JW_CAP)
+            lv[band] = batch_levenshtein_ratio(
+                head_a[band], head_b[band], cap=LEV_CAP
+            )
         lo = np.minimum(chars_a, chars_b)
         hi = np.maximum(chars_a, chars_b)
         lr = np.where(hi > 0, lo / np.where(hi > 0, hi, 1.0), 1.0)

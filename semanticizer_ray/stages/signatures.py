@@ -1,28 +1,36 @@
-"""Stage T5: per-conversation profiles — MinHash signature + scoring snippet.
+"""Stage T5 (+T3 fold-in): per-conversation profiles in ONE pass.
 
 The logical entity-resolution record is one CONVERSATION; the physical input
 is one row per TURN. This stage folds turns into conversation profiles with
 a mergeable aggregation so the conv-keyed shuffle moves kilobytes per
 conversation, never raw full texts:
 
-1. stateless ``map_batches``: per turn, char-k-shingle hashes of
-   ``norm_text``; combined WITHIN the batch per conv (input is written
-   sorted by (conv_id, turn_idx), so most conversations collapse to a
-   single partial row before the shuffle);
-2. ``groupby(conv_id).map_groups``: elementwise-min of partial signatures
-   (MinHash mergeability), ordered concat of truncated text heads, count
-   sums.
+1. actor-pool ``map_batches``: per turn, char-k-shingle hashes of
+   ``norm_text`` AND (when an anchor dictionary is supplied) anchor mention
+   counts from the in-actor dictionary — the matcher rides in the same
+   actor, so the text is read, normalized and scanned exactly once.
+   Partials combine WITHIN the batch per conv (input is written sorted by
+   (conv_id, turn_idx), so most conversations collapse to one partial row
+   before the shuffle);
+2. ONE ``sorted_grouped_agg(conv_id)``: elementwise-min of partial
+   signatures (MinHash mergeability, ``np.minimum.reduceat``), ordered
+   concat of truncated text heads, count sums, anchor-count dict merge →
+   top-M weighted anchors + K-rarest anchor blocking keys per conversation.
 
-Determinism: the conversation shingle set is defined as the UNION of
-per-turn shingle sets (never shingles across turn boundaries), so the
-result is invariant to batch boundaries and block order.
+Determinism: the conversation shingle set is the UNION of per-turn shingle
+sets (never shingles across turn boundaries), so results are invariant to
+batch boundaries and block order.
 
 Profile schema:
     conv_id:string, sig:binary (num_hashes × uint64), text_head:string,
-    n_turns:int64, n_chars:int64
+    n_turns:int64, n_chars:int64,
+    anchor_labels:list<string>, anchor_weights:list<double>,
+    block_keys:list<string>    (anchor-derived "A:" keys; empty w/o dict)
 """
 
 from __future__ import annotations
+
+from typing import Any
 
 import numpy as np
 import pandas as pd
@@ -32,6 +40,7 @@ import ray.data as rd
 from ..config import EngineConfig
 from ..functions.groupagg import sorted_grouped_agg
 from ..functions.minhash import hash_params, shingle_hashes
+from ..functions.normalize import normalize_text
 
 PROFILE_SCHEMA = pa.schema(
     [
@@ -40,31 +49,52 @@ PROFILE_SCHEMA = pa.schema(
         ("text_head", pa.string()),
         ("n_turns", pa.int64()),
         ("n_chars", pa.int64()),
+        ("anchor_labels", pa.list_(pa.string())),
+        ("anchor_weights", pa.list_(pa.float64())),
+        ("block_keys", pa.list_(pa.string())),
     ]
 )
 
+TOP_M_ANCHORS = 16
+
+
+# Per-worker-process state cache for the stateless partials tasks: Ray
+# reuses warm worker processes across tasks, so the hash family + anchor
+# dictionary build once per (worker, config) instead of paying actor-pool
+# startup (~0.5 s/actor × pool size dominated the stage wall time). The
+# broadcast dict table itself comes zero-copy from the object store.
+_WORKER_STATE: dict = {}
+
 
 class _TurnPartials:
-    """Stateless-per-batch but holds the seeded hash family (compiled once
-    per actor — SURVEY.md St-pattern)."""
+    """Per-batch partial profiles; the seeded hash family and (optionally)
+    the anchor dictionary are loaded once per WORKER (SURVEY.md St1)."""
 
-    def __init__(self, cfg: EngineConfig):
+    def __init__(self, cfg: EngineConfig, dict_source: Any = None):
         self.cfg = cfg
         self.a, self.b = hash_params(cfg.blocking.num_hashes, cfg.seed)
         self.k = cfg.blocking.shingle_k
         self.cap = cfg.blocking.max_profile_chars
+        self.matcher = None
+        if dict_source is not None:
+            from .mentions import AnchorMatcher
+
+            self.matcher = AnchorMatcher(dict_source, cfg)
+
+    def _anchor_counts(self, norm_text: str) -> dict[str, tuple[int, float, int]]:
+        """label → (count, link_probability, label_link_doc) for one turn
+        (fast normalized-text path; spans are irrelevant for profiles)."""
+        return self.matcher.count_labels_normtext(norm_text)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
         tidx = batch["turn_idx"].to_numpy(zero_copy_only=False)
         texts = batch["norm_text"].to_pylist()
         order = np.lexsort((tidx, conv))
-        out_conv: list[str] = []
-        out_sig: list[bytes] = []
-        out_head: list[str] = []
-        out_turns: list[int] = []
-        out_chars: list[int] = []
-        out_min_turn: list[int] = []
+        out = {
+            "conv_id": [], "sig": [], "text_head": [], "n_turns": [],
+            "n_chars": [], "min_turn": [], "anchors": [],
+        }
         i = 0
         n = len(order)
         with np.errstate(over="ignore"):
@@ -75,6 +105,7 @@ class _TurnPartials:
                 heads: list[str] = []
                 n_chars = 0
                 head_len = 0
+                acounts: dict[str, tuple[int, float, int]] = {}
                 while j < n and conv[order[j]] == cid:
                     t = texts[order[j]] or ""
                     n_chars += len(t)
@@ -82,6 +113,13 @@ class _TurnPartials:
                     if head_len < self.cap:
                         heads.append(t[: self.cap - head_len])
                         head_len += len(heads[-1]) + 1
+                    if self.matcher is not None:
+                        for lab, (c, lp, ld) in self._anchor_counts(t).items():
+                            if lab in acounts:
+                                c0, lp0, ld0 = acounts[lab]
+                                acounts[lab] = (c0 + c, lp0, ld0)
+                            else:
+                                acounts[lab] = (c, lp, ld)
                     j += 1
                 sh = np.unique(np.concatenate(sh_parts))
                 sig = np.full(len(self.a), np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -90,48 +128,85 @@ class _TurnPartials:
                     part = sh[lo : lo + CHUNK]
                     vals = self.a[:, None] * part[None, :] + self.b[:, None]
                     np.minimum(sig, vals.min(axis=1), out=sig)
-                out_conv.append(cid)
-                out_sig.append(sig.tobytes())
-                out_head.append(" ".join(heads))
-                out_turns.append(j - i)
-                out_chars.append(n_chars)
-                out_min_turn.append(int(tidx[order[i]]))
+                out["conv_id"].append(cid)
+                out["sig"].append(sig.tobytes())
+                out["text_head"].append(" ".join(heads))
+                out["n_turns"].append(j - i)
+                out["n_chars"].append(n_chars)
+                out["min_turn"].append(int(tidx[order[i]]))
+                out["anchors"].append(
+                    [(lab, c, lp, ld) for lab, (c, lp, ld) in acounts.items()]
+                )
                 i = j
+        anchor_type = pa.list_(
+            pa.struct(
+                [("label", pa.string()), ("cnt", pa.int64()),
+                 ("lp", pa.float64()), ("ld", pa.int64())]
+            )
+        )
         return pa.table(
             {
-                "conv_id": pa.array(out_conv, pa.string()),
-                "sig": pa.array(out_sig, pa.binary()),
-                "text_head": pa.array(out_head, pa.string()),
-                "n_turns": pa.array(out_turns, pa.int64()),
-                "n_chars": pa.array(out_chars, pa.int64()),
-                "min_turn": pa.array(out_min_turn, pa.int64()),
+                "conv_id": pa.array(out["conv_id"], pa.string()),
+                "sig": pa.array(out["sig"], pa.binary()),
+                "text_head": pa.array(out["text_head"], pa.string()),
+                "n_turns": pa.array(out["n_turns"], pa.int64()),
+                "n_chars": pa.array(out["n_chars"], pa.int64()),
+                "min_turn": pa.array(out["min_turn"], pa.int64()),
+                "anchors": pa.array(
+                    [
+                        [
+                            {"label": l, "cnt": c, "lp": lp, "ld": ld}
+                            for l, c, lp, ld in row
+                        ]
+                        for row in out["anchors"]
+                    ],
+                    anchor_type,
+                ),
             }
         )
 
 
 def conv_profiles(
-    normalized: rd.Dataset, cfg: EngineConfig, batch_size: int | None = None
+    normalized: rd.Dataset,
+    cfg: EngineConfig,
+    dict_source: Any = None,
+    batch_size: int | None = None,
 ) -> rd.Dataset:
-    """Turn-level normalized transcripts → one profile row per conversation."""
+    """Turn-level normalized transcripts → one profile row per conversation
+    (module docstring). ``dict_source``: anchor dict (table / ObjectRef /
+    path) — when given, anchor summaries + blocking keys are produced in
+    the same pass."""
     cap = cfg.blocking.max_profile_chars
     num_hashes = cfg.blocking.num_hashes
+    k_keys = cfg.blocking.anchor_keys_per_conv
+    ncfg = cfg.normalize
+
+    import ray
+
+    if dict_source is not None and not isinstance(dict_source, ray.ObjectRef):
+        dict_source = ray.put(dict_source)
+    state_key = (cfg.config_hash(), dict_source.hex() if dict_source is not None else None)
+
+    def partials_fn(batch: pa.Table) -> pa.Table:
+        # stateless task + per-worker state cache (see _WORKER_STATE note)
+        st = _WORKER_STATE.get(state_key)
+        if st is None:
+            st = _TurnPartials(cfg, dict_source)
+            _WORKER_STATE.clear()
+            _WORKER_STATE[state_key] = st
+        return st(batch)
 
     partials = normalized.map_batches(
-        _TurnPartials,
-        fn_constructor_args=(cfg,),
+        partials_fn,
         batch_format="pyarrow",
-        batch_size=batch_size or max(cfg.batch_size, 8192),
-        # autoscaling pool: min 1 actor so the pool can never reserve every
-        # CPU and starve the downstream shuffle (ray_guide §actor pools)
-        concurrency=(1, cfg.actor_concurrency),
-        num_cpus=1,
+        batch_size=batch_size or cfg.batch_size,
     )
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized merge of per-(conv, batch) partials: elementwise-min
-        signatures via ``np.minimum.reduceat`` over group boundaries, ordered
-        head concat, count sums. Associative+commutative → composable
-        (sorted_grouped_agg contract)."""
+        """Vectorized merge of per-(conv, batch) partials (associative +
+        commutative + idempotent → sorted_grouped_agg contract): reduceat
+        signature min, ordered head concat, count sums, anchor-dict merge +
+        top-M / K-rarest selection per conv."""
         if len(df) == 0:
             return pd.DataFrame(
                 {
@@ -141,6 +216,7 @@ def conv_profiles(
                     "n_turns": pd.Series(dtype="int64"),
                     "n_chars": pd.Series(dtype="int64"),
                     "min_turn": pd.Series(dtype="int64"),
+                    "anchors": pd.Series(dtype="object"),
                 }
             )
         df = df.sort_values(["conv_id", "min_turn"], kind="stable")
@@ -155,18 +231,74 @@ def conv_profiles(
         n_turns = g["n_turns"].sum()
         n_chars = g["n_chars"].sum()
         min_turn = g["min_turn"].min()
+        # anchor merge: single-partial fast path, dict-merge otherwise
+        anchors_col = df["anchors"].to_numpy()
+        bounds = np.append(starts, len(df))
+        merged_anchors = []
+        for gi in range(len(starts)):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            if hi - lo == 1:
+                merged_anchors.append(anchors_col[lo])
+                continue
+            acc: dict[str, list] = {}
+            for row in anchors_col[lo:hi]:
+                for a in row:
+                    lab = a["label"]
+                    if lab in acc:
+                        acc[lab][1] += a["cnt"]
+                    else:
+                        acc[lab] = [lab, a["cnt"], a["lp"], a["ld"]]
+            merged_anchors.append(
+                [
+                    {"label": v[0], "cnt": v[1], "lp": v[2], "ld": v[3]}
+                    for v in acc.values()
+                ]
+            )
+        keys = conv[starts]
         return pd.DataFrame(
             {
-                "conv_id": conv[starts],
+                "conv_id": keys,
                 "sig": [sig_min[i].tobytes() for i in range(len(starts))],
-                "text_head": heads.loc[conv[starts]].to_numpy(),
-                "n_turns": n_turns.loc[conv[starts]].to_numpy(),
-                "n_chars": n_chars.loc[conv[starts]].to_numpy(),
-                "min_turn": min_turn.loc[conv[starts]].to_numpy(),
+                "text_head": heads.loc[keys].to_numpy(),
+                "n_turns": n_turns.loc[keys].to_numpy(),
+                "n_chars": n_chars.loc[keys].to_numpy(),
+                "min_turn": min_turn.loc[keys].to_numpy(),
+                "anchors": merged_anchors,
             }
         )
 
-    out = sorted_grouped_agg(partials, "conv_id", combine, pre_combine=False)
-    return out.map_batches(
-        lambda df: df.drop(columns=["min_turn"]), batch_format="pandas"
-    )
+    agg = sorted_grouped_agg(partials, "conv_id", combine, pre_combine=False)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        """Anchor summary per conv: top-M by weight (cnt·lp), K-rarest (by
+        global link_doc) → blocking keys."""
+        out_labels, out_weights, out_keys = [], [], []
+        for row in df["anchors"].to_numpy() if len(df) else []:
+            row = list(row) if row is not None else []
+            if not row:
+                out_labels.append([])
+                out_weights.append([])
+                out_keys.append([])
+                continue
+            weighted = sorted(
+                ((a["cnt"] * a["lp"], a["label"]) for a in row),
+                key=lambda t: (-t[0], t[1]),
+            )[:TOP_M_ANCHORS]
+            rare = sorted(((a["ld"], a["label"]) for a in row))[:k_keys]
+            out_labels.append([lab for _w, lab in weighted])
+            out_weights.append([float(w) for w, _lab in weighted])
+            out_keys.append(sorted({f"A:{normalize_text(l, ncfg)}" for _ld, l in rare}))
+        base = {
+            "conv_id": df["conv_id"] if len(df) else pd.Series(dtype="str"),
+            "sig": df["sig"] if len(df) else pd.Series(dtype="object"),
+            "text_head": df["text_head"] if len(df) else pd.Series(dtype="str"),
+            "n_turns": df["n_turns"] if len(df) else pd.Series(dtype="int64"),
+            "n_chars": df["n_chars"] if len(df) else pd.Series(dtype="int64"),
+        }
+        out = pd.DataFrame(base)
+        out["anchor_labels"] = pd.Series(out_labels, index=out.index, dtype="object")
+        out["anchor_weights"] = pd.Series(out_weights, index=out.index, dtype="object")
+        out["block_keys"] = pd.Series(out_keys, index=out.index, dtype="object")
+        return out
+
+    return agg.map_batches(finalize, batch_format="pandas")

@@ -36,21 +36,15 @@ def er_run(ray_session, fixture_dir):
 
 
 def _score_row(row, cfg: EngineConfig) -> float:
-    feats = {
-        "jaccard_est": estimate_jaccard(
-            np.frombuffer(row["sig_a"], dtype=np.uint64),
-            np.frombuffer(row["sig_b"], dtype=np.uint64),
-        ),
-        "jaro_winkler": jaro_winkler(row["text_head_a"], row["text_head_b"], cap=JW_CAP),
-        "lev_ratio": levenshtein_ratio(row["text_head_a"], row["text_head_b"], cap=LEV_CAP),
-        "anchor_overlap": _anchor_overlap(
-            row["anchor_labels_a"], row["anchor_weights_a"],
-            row["anchor_labels_b"], row["anchor_weights_b"],
-        ),
-        "len_ratio": (
-            min(row["n_chars_a"], row["n_chars_b"]) / max(row["n_chars_a"], row["n_chars_b"], 1)
-        ),
-    }
+    from semanticizer_ray.stages.scoring import compute_pair_features
+
+    feats = compute_pair_features(
+        row["sig_a"], row["sig_b"],
+        row["text_head_a"], row["text_head_b"],
+        row["n_chars_a"], row["n_chars_b"],
+        row["anchor_labels_a"], row["anchor_weights_a"],
+        row["anchor_labels_b"], row["anchor_weights_b"],
+    )
     wsum = sum(cfg.scoring.weights.values())
     return sum(w * feats[k] for k, w in cfg.scoring.weights.items()) / wsum + cfg.scoring.bias
 
@@ -63,9 +57,9 @@ def _pairwise_f1(pred_same: pd.Series, true_same: pd.Series) -> float:
 
 
 def _attach_side(edges: pd.DataFrame, result) -> pd.DataFrame:
-    side = result.profiles.to_pandas()[["conv_id", "sig", "text_head", "n_chars"]]
-    summ = result.summaries.to_pandas()[["conv_id", "anchor_labels", "anchor_weights"]]
-    side = side.merge(summ, on="conv_id", how="left")
+    side = result.profiles.to_pandas()[
+        ["conv_id", "sig", "text_head", "n_chars", "anchor_labels", "anchor_weights"]
+    ]
     for col in ("anchor_labels", "anchor_weights"):
         side[col] = side[col].apply(
             lambda v: list(v) if isinstance(v, (list, np.ndarray)) else []
