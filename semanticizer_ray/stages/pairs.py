@@ -38,6 +38,12 @@ from ..functions.groupagg import group_starts, grouped_count, sorted_apply_exact
 
 MAX_SALT = 8
 
+# Count gate for the driver-side fast path in censuses / pair dedup: small
+# (test-tier) inputs skip distributed sorts; anything bigger takes the
+# scaling path. Deliberately modest so benchmark tiers exercise the
+# distributed code.
+DRIVER_GATE = 100_000
+
 PAIR_SCHEMA = pa.schema(
     [
         ("conv_a", pa.string()),
@@ -60,7 +66,7 @@ def block_census(
     cap = cfg.blocking.max_block_size
     if include_anchor_cap:
         cap = min(cap, cfg.blocking.anchor_max_block_size)
-    counts = grouped_count(block_rows, "block_key", driver_gate=5_000_000)
+    counts = grouped_count(block_rows, "block_key", driver_gate=DRIVER_GATE)
     hot = counts.map_batches(
         lambda df: df[df["n"] > cap], batch_format="pandas"
     ).to_pandas()
@@ -210,7 +216,7 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
         )
 
     deduped = sorted_grouped_agg(
-        all_pairs, "pair_key", dedup_combine, driver_gate=5_000_000
+        all_pairs, "pair_key", dedup_combine, driver_gate=DRIVER_GATE
     )
 
     def split_key(df: pd.DataFrame) -> pd.DataFrame:
