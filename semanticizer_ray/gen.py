@@ -275,6 +275,30 @@ def gen_transcripts(
     return transcripts, truth
 
 
+def build_labeled_pairs(
+    pairs_df, truth_df, seed: int = 42
+) -> "pa.Table":
+    """FIXTURES.md F5: labeled pairs = candidate pairs sharing a blocking
+    key (the north_rule F1 population) × ground truth.
+
+    ``pairs_df``: pandas with conv_a, conv_b, block_id (stage-1 output);
+    ``truth_df``: pandas with conv_id, cluster_id.
+    """
+    tmap = dict(zip(truth_df["conv_id"], truth_df["cluster_id"]))
+    is_match = [
+        tmap.get(a) == tmap.get(b)
+        for a, b in zip(pairs_df["conv_a"], pairs_df["conv_b"])
+    ]
+    return pa.table(
+        {
+            "conv_a": pa.array(list(pairs_df["conv_a"]), pa.string()),
+            "conv_b": pa.array(list(pairs_df["conv_b"]), pa.string()),
+            "block_id": pa.array(list(pairs_df["block_id"]), pa.string()),
+            "is_match": pa.array(is_match, pa.bool_()),
+        }
+    )
+
+
 def write_fixture_set(out_dir: str, n_convs: int, seed: int = 42) -> dict[str, str]:
     """Write the full fixture set under ``out_dir``; returns path map."""
     import os

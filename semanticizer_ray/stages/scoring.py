@@ -16,18 +16,13 @@ scorer with explicit weights replaces the reference's pickled sklearn model
 a JSON sidecar and can be refit offline (``fit_weights``).
 
 Shape: deduplicated pairs carry only ids through the quadratic stage; the
-per-conv profile+summary side is attached just before scoring. Two
-strategies (``attach_profiles``):
-
-- ``broadcast`` (default): the side table is ``ray.put`` once and each
-  scorer actor builds a conv→profile dict in ``__init__`` — zero shuffle,
-  right whenever the side fits in worker memory (profiles are ~2 KB/conv;
-  at 10^12 turns the side table itself must be sharded → use shuffle).
-- ``shuffle``: a conv-keyed scatter/gather over ``groupby`` (uniform-schema
-  union — deliberately NOT ``Dataset.join``, which in ray 2.49 mishandles
-  empty partitions inside composed plans): pairs melt to (conv, pair_id)
-  rows, pick up their profile in a conv-keyed group, and reassemble in a
-  pair_id-keyed group. Two shuffles, fully streaming, no driver state.
+per-conv side rides as a BROADCAST of all-numpy arrays (``ray.put`` once,
+zero-copy per worker — ``build_side_state``) and scoring is one fused
+stateless ``map_batches`` (``score_pairs_fused``). At 10^12-turn scale the
+side table itself shards: the same pair stream instead takes a conv-keyed
+scatter/gather (the bucket-join pattern used by ``stages/clustering.py`` —
+deliberately NOT ``Dataset.join``, which in ray 2.49 mishandles empty
+partitions inside composed plans).
 """
 
 from __future__ import annotations
@@ -102,37 +97,6 @@ def build_side_table(profiles: rd.Dataset, num_partitions: int = 16) -> pa.Table
             lambda v: list(v) if isinstance(v, (list, np.ndarray)) else []
         )
     return pa.Table.from_pandas(pdf[["conv_id"] + SIDE_COLS], preserve_index=False)
-
-
-def attach_profiles(pairs: rd.Dataset, side: Any, num_partitions: int = 16) -> rd.Dataset:
-    """Attach both endpoints' profiles to pair rows (broadcast strategy).
-
-    ``side``: pa.Table or ray ObjectRef of one (``ray.put`` once on the
-    driver; each attach actor reads it once in ``__init__``).
-    """
-    import ray
-
-    side_ref = side if isinstance(side, ray.ObjectRef) else ray.put(side)
-
-    def attach(batch: pd.DataFrame) -> pd.DataFrame:
-        # stateless task + per-worker cache: the broadcast side table comes
-        # zero-copy from the local object store and is converted to pandas
-        # once per worker, not per batch; attachment is two vectorized merges
-        key = ("attach_side", side_ref.hex())
-        side_df = _SIDE_CACHE.get(key)
-        if side_df is None:
-            side_df = ray.get(side_ref).to_pandas()
-            _SIDE_CACHE.clear()
-            _SIDE_CACHE[key] = side_df
-        out = batch[["conv_a", "conv_b", "block_id"]]
-        for sfx, mkey in (("_a", "conv_a"), ("_b", "conv_b")):
-            renamed = side_df.rename(columns={c: c + sfx for c in SIDE_COLS})
-            out = out.merge(
-                renamed, left_on=mkey, right_on="conv_id", how="left"
-            ).drop(columns=["conv_id"])
-        return out
-
-    return pairs.map_batches(attach, batch_format="pandas", batch_size=8192)
 
 
 def _anchor_overlap(la, wa, lb, wb) -> float:
@@ -323,76 +287,6 @@ def score_pairs_fused(pairs: rd.Dataset, side_state, cfg: EngineConfig) -> rd.Da
         )
 
     return pairs.map_batches(score, batch_format="pyarrow", batch_size=8192)
-
-
-def score_pairs(joined: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
-    """Joined pair rows → edge rows with features + linear score."""
-    scfg = cfg.scoring
-
-    def score_batch(batch: pd.DataFrame) -> pa.Table:
-        n = len(batch)
-        sig_a = batch["sig_a"].to_numpy()
-        sig_b = batch["sig_b"].to_numpy()
-        head_a = batch["text_head_a"].to_numpy()
-        head_b = batch["text_head_b"].to_numpy()
-        chars_a = batch["n_chars_a"].to_numpy().astype(np.float64)
-        chars_b = batch["n_chars_b"].to_numpy().astype(np.float64)
-        al_a = batch["anchor_labels_a"].to_numpy()
-        aw_a = batch["anchor_weights_a"].to_numpy()
-        al_b = batch["anchor_labels_b"].to_numpy()
-        aw_b = batch["anchor_weights_b"].to_numpy()
-
-        # vectorized jaccard: unpack all signatures as one (n, H) matrix
-        if n:
-            A = np.frombuffer(b"".join(sig_a), dtype=np.uint64).reshape(n, -1)
-            B = np.frombuffer(b"".join(sig_b), dtype=np.uint64).reshape(n, -1)
-            jac = (A == B).mean(axis=1)
-        else:
-            jac = np.empty(0)
-        ao = np.empty(n)
-        for i in range(n):
-            ao[i] = _anchor_overlap(al_a[i], aw_a[i], al_b[i], aw_b[i])
-        # cascade: exact edit metrics only for contested pairs
-        jw = jac.copy()
-        lv = jac.copy()
-        band = np.flatnonzero((jac > CASCADE_LO) & (jac < CASCADE_HI))
-        if len(band):
-            for i in band:
-                jw[i] = jaro_winkler(head_a[i] or "", head_b[i] or "", cap=JW_CAP)
-            lv[band] = batch_levenshtein_ratio(
-                head_a[band], head_b[band], cap=LEV_CAP
-            )
-        lo = np.minimum(chars_a, chars_b)
-        hi = np.maximum(chars_a, chars_b)
-        lr = np.where(hi > 0, lo / np.where(hi > 0, hi, 1.0), 1.0)
-
-        feats = {
-            "jaccard_est": jac,
-            "jaro_winkler": jw,
-            "lev_ratio": lv,
-            "anchor_overlap": ao,
-            "len_ratio": lr,
-        }
-        score = np.full(n, scfg.bias, dtype=np.float64)
-        wsum = sum(scfg.weights.values()) or 1.0
-        for name, w in scfg.weights.items():
-            score += (w / wsum) * feats[name]
-        return pa.table(
-            {
-                "conv_a": pa.array(batch["conv_a"].to_numpy(), pa.string()),
-                "conv_b": pa.array(batch["conv_b"].to_numpy(), pa.string()),
-                "block_id": pa.array(batch["block_id"].to_numpy(), pa.string()),
-                "jaccard_est": pa.array(jac),
-                "jaro_winkler": pa.array(jw),
-                "lev_ratio": pa.array(lv),
-                "anchor_overlap": pa.array(ao),
-                "len_ratio": pa.array(lr),
-                "score": pa.array(score),
-                "is_match": pa.array(score >= scfg.threshold),
-            }
-        )
-
-    return joined.map_batches(score_batch, batch_format="pandas", batch_size=4096)
 
 
 def fit_weights(

@@ -156,3 +156,37 @@ def test_per_turn_text_equality(ray_session, er_run, fixture_dir):
     assert (out["conv_id"] == src["conv_id"]).all()
     assert (out["turn_idx"] == src["turn_idx"]).all()
     assert (out["text"] == src["text"]).all()
+
+
+def test_score_symmetry(er_run):
+    """Property (SURVEY §5.4): s(a,b) == s(b,a) — features are symmetric."""
+    from semanticizer_ray.stages.scoring import compute_pair_features
+
+    cfg, result = er_run
+    edges = _attach_side(result.edges.to_pandas().head(50), result)
+    for _, r in edges.iterrows():
+        f_ab = compute_pair_features(
+            r["sig_a"], r["sig_b"], r["text_head_a"], r["text_head_b"],
+            r["n_chars_a"], r["n_chars_b"],
+            r["anchor_labels_a"], r["anchor_weights_a"],
+            r["anchor_labels_b"], r["anchor_weights_b"],
+        )
+        f_ba = compute_pair_features(
+            r["sig_b"], r["sig_a"], r["text_head_b"], r["text_head_a"],
+            r["n_chars_b"], r["n_chars_a"],
+            r["anchor_labels_b"], r["anchor_weights_b"],
+            r["anchor_labels_a"], r["anchor_weights_a"],
+        )
+        for k in f_ab:
+            assert abs(f_ab[k] - f_ba[k]) < 1e-12, k
+
+
+def test_clustering_is_partition(er_run):
+    """Property: every conversation in exactly one cluster; cluster ids are
+    member ids (canonical min)."""
+    _, result = er_run
+    clusters = result.clusters.to_pandas()
+    profiles = result.profiles.to_pandas()
+    assert set(clusters["conv_id"]) == set(profiles["conv_id"])
+    assert clusters["conv_id"].is_unique
+    assert set(clusters["cluster_id"]) <= set(clusters["conv_id"])
