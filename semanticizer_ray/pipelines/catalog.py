@@ -341,7 +341,7 @@ def docs_by_lang(sf_dir: str) -> pd.DataFrame:
 
 
 DOCS_BY_LANG_SQL = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        round(avg(n_chars), 2) AS avg_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
@@ -476,10 +476,10 @@ WITH lagged AS (
   FROM events
 )
 SELECT event_id, user_id,
-       sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
-                THEN 1 ELSE 0 END)
-         OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS session_id
+       CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM lagged ORDER BY event_id
 """
 

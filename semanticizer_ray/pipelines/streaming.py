@@ -99,7 +99,12 @@ def asof_latest_order(events: rd.Dataset, orders_df: pd.DataFrame, n_keys: int) 
     (broadcast + ``pd.merge_asof`` per batch, sorted within batch)."""
     import ray
 
-    orders_sorted = orders_df.sort_values("o_orderdate")
+    # Sort by (o_orderdate, o_orderkey): merge_asof(direction="backward")
+    # picks the LAST matching row, so equal-date ties deterministically
+    # resolve to the max o_orderkey (matches the oracle's
+    # ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) regardless of
+    # the input file's row order.
+    orders_sorted = orders_df.sort_values(["o_orderdate", "o_orderkey"])
     ref = ray.put(orders_sorted)
 
     def attach(batch: pd.DataFrame) -> pd.DataFrame:

@@ -43,11 +43,16 @@ MANIFEST = "MANIFEST.json"
 
 
 def fingerprint_paths(paths: list[str]) -> str:
-    """Deterministic fingerprint of input files (path, size, mtime)."""
+    """Deterministic fingerprint of input files (path, size, mtime_ns).
+
+    Nanosecond mtime: with whole-second granularity a file rewritten within
+    the same second at identical size would fingerprint identically and a
+    resume would silently reuse stale downstream stages.
+    """
     h = hashlib.sha256()
     for p in sorted(paths):
         st = os.stat(p)
-        h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:16]
 
 

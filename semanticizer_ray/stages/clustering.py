@@ -311,6 +311,15 @@ def cluster_edges(
         labels = stepped.select_columns(["node", "label"]).materialize()
         if not changed:
             break
+    else:
+        if changed:
+            # labels would be non-transitive (split clusters) — never return
+            # a silently-partial partition
+            raise RuntimeError(
+                f"cluster_edges: no fixed point after {cfg.cluster.max_rounds} "
+                f"rounds ({changed} labels still changing); raise "
+                "ClusterConfig.max_rounds for graphs of this diameter"
+            )
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -185,39 +185,187 @@ def minhash_dedup(
     return comp.map_batches(back_to_int, batch_format="pyarrow")
 
 
+_SH_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
 def simhash(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
-    """Adds ``simhash``: 64-bit SimHash (hex) over word-token hashes."""
+    """Adds ``simhash``: 64-bit SimHash (hex) over word-token hashes.
+
+    Vectorized: every word in the batch is hashed with ONE C-speed
+    ``pd.util.hash_array`` call (deterministic — fixed default hash key),
+    then per-doc bit votes are a single numpy reduction; no per-word Python
+    loop (the round-1 per-word md5 kernel was the suite's slowest)."""
 
     def f(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch[text_col].to_pylist():
-            words = (t or "").lower().split()
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for w in words:
-                h = np.uint64(
-                    int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
-                )
-                bits = (h >> shifts) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            val = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    val |= 1 << bit
-            out.append(f"{val:016x}")
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        words_per_doc = [(t or "").lower().split() for t in texts]
+        lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=n)
+        flat = [w for ws in words_per_doc for w in ws]
+        hv = (
+            pd.util.hash_array(np.asarray(flat, dtype=object))
+            if flat
+            else np.empty(0, dtype=np.uint64)
+        )
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        out = np.zeros(n, dtype=np.uint64)
+        for i in range(n):
+            h = hv[offs[i] : offs[i + 1]]
+            if len(h) == 0:
+                continue
+            ones = ((h[:, None] >> _SH_SHIFTS) & np.uint64(1)).sum(axis=0)
+            val_bits = (2 * ones > len(h)).astype(np.uint64)
+            out[i] = (val_bits << _SH_SHIFTS).sum(dtype=np.uint64)
         return pa.table(
             {
                 id_col: batch[id_col],
-                "simhash": pa.array(out, pa.string()),
+                "simhash": pa.array([f"{v:016x}" for v in out], pa.string()),
             }
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def simhash_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
-    """Exact-simhash duplicate groups: (doc_id, dup_group = min id in group)."""
+def simhash_hamming_pairs(
+    sim_rows: rd.Dataset,
+    hamming_k: int,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    max_bucket: int = 512,
+) -> rd.Dataset:
+    """(id, simhash hex) rows → (src, dst, hamming) pairs with Hamming
+    distance ≤ k, via band rotation: the 64 bits split into ``k + 1`` bands,
+    so any two values within distance k agree exactly on ≥ 1 band
+    (pigeonhole) — each band is an LSH bucket key, verified in-bucket with a
+    vectorized XOR popcount. Oversized buckets truncate at ``max_bucket``
+    (counted in ``bucket_overflow`` — no silent loss)."""
+    nb = hamming_k + 1
+    # band bit boundaries (as even as 64//nb allows)
+    widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
+    offsets = np.cumsum([0] + widths[:-1])
+    masks = [(1 << w) - 1 for w in widths]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        vals = np.array(
+            [int(s, 16) for s in batch[sim_col].to_pylist()], dtype=np.uint64
+        )
+        out_id, out_b, out_v = [], [], []
+        for band in range(nb):
+            bb = (vals >> np.uint64(offsets[band])) & np.uint64(masks[band])
+            out_id.extend(ids)
+            out_b.extend(f"{band}:{v:x}" for v in bb)
+            out_v.extend(int(v) for v in vals)
+        return pa.table(
+            {
+                "doc": pa.array(out_id, pa.int64()),
+                "bucket": pa.array(out_b, pa.string()),
+                "sim": pa.array(out_v, pa.uint64()),
+            }
+        )
+
+    rows = sim_rows.map_batches(explode, batch_format="pyarrow")
+
+    def verify_block(df: pd.DataFrame) -> pd.DataFrame:
+        src, dst, ham, overs = [], [], [], []
+        if len(df):
+            df = df.drop_duplicates(["bucket", "doc"]).sort_values(["bucket", "doc"])
+            buckets = df["bucket"].to_numpy()
+            ids = df["doc"].to_numpy()
+            sims = df["sim"].to_numpy().astype(np.uint64)
+            starts = np.append(group_starts(buckets), len(df))
+            for gi in range(len(starts) - 1):
+                lo = starts[gi]
+                over = max(0, (starts[gi + 1] - lo) - max_bucket)
+                hi = min(starts[gi + 1], lo + max_bucket)
+                m = hi - lo
+                if m < 2:
+                    continue
+                iu, ju = np.triu_indices(m, k=1)
+                x = np.bitwise_xor(sims[lo + iu], sims[lo + ju])
+                d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+                keep = d <= hamming_k
+                for i, j, dd in zip(iu[keep], ju[keep], d[keep]):
+                    src.append(int(ids[lo + i]))
+                    dst.append(int(ids[lo + j]))
+                    ham.append(int(dd))
+                    overs.append(over)
+        return pd.DataFrame(
+            {
+                "src": pd.Series(src, dtype="int64"),
+                "dst": pd.Series(dst, dtype="int64"),
+                "hamming": pd.Series(ham, dtype="int64"),
+                "bucket_overflow": pd.Series(overs, dtype="int64"),
+            }
+        )
+
+    pairs = sorted_apply_exact(rows, "bucket", verify_block)
+
+    # a pair can meet in several bands: dedup on the (src, dst) key
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return (
+            df.groupby(["src", "dst"], sort=False)
+            .agg(hamming=("hamming", "min"), bucket_overflow=("bucket_overflow", "max"))
+            .reset_index()
+        )
+
+    return sorted_grouped_agg(pairs, ["src", "dst"], dedup)
+
+
+def simhash_dedup(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hamming_k: int = 0,
+    cfg: EngineConfig | None = None,
+) -> rd.Dataset:
+    """SimHash duplicate groups: (doc_id, dup_group = min id in group).
+
+    ``hamming_k`` = 0 groups exact simhash values; k > 0 links docs within
+    Hamming distance k via ``simhash_hamming_pairs`` banding + connected
+    components."""
     sh = simhash(ds, id_col, text_col)
+
+    if hamming_k > 0:
+        from ..config import DEFAULT_CONFIG
+        from .clustering import cluster_edges
+
+        pairs = simhash_hamming_pairs(sh, hamming_k, id_col=id_col)
+
+        def to_str(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "conv_a": pa.array([f"{v:012d}" for v in batch["src"].to_pylist()]),
+                    "conv_b": pa.array([f"{v:012d}" for v in batch["dst"].to_pylist()]),
+                }
+            )
+
+        all_nodes = ds.map_batches(
+            lambda t: pa.table(
+                {"conv_id": pa.array([f"{v:012d}" for v in t[id_col].to_pylist()])}
+            ),
+            batch_format="pyarrow",
+        )
+        comp = cluster_edges(
+            pairs.map_batches(to_str, batch_format="pyarrow"),
+            all_nodes,
+            cfg or DEFAULT_CONFIG,
+        )
+        return comp.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: pa.array(
+                        [int(v) for v in t["conv_id"].to_pylist()], pa.int64()
+                    ),
+                    "dup_group": pa.array(
+                        [int(v) for v in t["cluster_id"].to_pylist()], pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
 
     def keep_group_block(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:

@@ -38,6 +38,16 @@ from ..functions.groupagg import group_starts, grouped_count, sorted_apply_exact
 
 MAX_SALT = 8
 
+# Key-internal delimiter: "\x1f" (ASCII unit separator). A printable
+# delimiter like "#s" or "|" could collide with anchor label text / user
+# conv ids and corrupt key parsing; "\x00" is ruled out because pandas'
+# string hash table is NUL-terminated (groupby silently merges keys that
+# share a prefix before "\x00"). Contract (documented here and in the
+# pipeline docs): conv ids and anchor labels must not contain "\x1f" —
+# no natural-language normalizer output does.
+SALT_SEP = "\x1fs"  # block_key + SALT_SEP + "<s>:<lo>-<hi>"
+PAIR_SEP = "\x1f"  # conv_a + PAIR_SEP + conv_b
+
 # Count gate for the driver-side fast path in censuses / pair dedup: small
 # (test-tier) inputs skip distributed sorts; anything bigger takes the
 # scaling path. Deliberately modest so benchmark tiers exercise the
@@ -107,15 +117,25 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
     hot_ref = ray.put(plan)
 
     def salt_explode(batch: pa.Table) -> pa.Table:
+        """Cold rows pass through as a zero-copy Arrow filter; only rows of
+        hot keys (a tiny fraction by construction) take the Python loop."""
+        import pyarrow.compute as pc
+
         hot_map: dict[str, int] = ray.get(hot_ref)
         if not hot_map:
             return batch
-        keys = batch["block_key"].to_pylist()
-        convs = batch["conv_id"].to_pylist()
+        hot_keys = pa.array(list(hot_map), pa.string())
+        is_hot = pc.is_in(batch["block_key"], value_set=hot_keys)
+        cold = batch.filter(pc.invert(is_hot))
+        hot_rows = batch.filter(is_hot)
+        if hot_rows.num_rows == 0:
+            return cold
+        keys = hot_rows["block_key"].to_pylist()
+        convs = hot_rows["conv_id"].to_pylist()
         out_key, out_conv = [], []
         for key, conv in zip(keys, convs):
-            s = hot_map.get(key)
-            if s is None or s == 1:
+            s = hot_map[key]
+            if s == 1:
                 out_key.append(key)
                 out_conv.append(conv)
             elif s == 0:
@@ -124,14 +144,15 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
                 i = _stable_hash(conv) % s
                 for j in range(s):
                     lo, hi = min(i, j), max(i, j)
-                    out_key.append(f"{key}#s{s}:{lo}-{hi}")
+                    out_key.append(f"{key}{SALT_SEP}{s}:{lo}-{hi}")
                     out_conv.append(conv)
-        return pa.table(
+        exploded = pa.table(
             {
                 "block_key": pa.array(out_key, pa.string()),
                 "conv_id": pa.array(out_conv, pa.string()),
             }
         )
+        return pa.concat_tables([cold, exploded])
 
     salted = block_rows.map_batches(salt_explode, batch_format="pyarrow")
 
@@ -161,9 +182,11 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
                 k2 = keys[lo2]
                 a2 = convs[lo2]
                 b2 = convs[lo2 + 1]
-                plain = np.array(["#s" not in k for k in k2], dtype=bool)
+                plain = np.array([SALT_SEP not in k for k in k2], dtype=bool)
                 keep2 = plain & (a2 != b2)
-                out_pk.extend(f"{a}|{b}" for a, b in zip(a2[keep2], b2[keep2]))
+                out_pk.extend(
+                    f"{a}{PAIR_SEP}{b}" for a, b in zip(a2[keep2], b2[keep2])
+                )
                 out_block.extend(k2[keep2])
                 out_over.extend([0] * int(keep2.sum()))
                 slow_from_two = list(two[~plain])  # salted size-2 → loop
@@ -172,8 +195,8 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
                 lo_i, hi_i = bounds[gi], bounds[gi + 1]
                 key = keys[lo_i]
                 members = sorted(set(convs[lo_i:hi_i]))
-                if "#s" in key:
-                    _, salt_part = key.rsplit("#s", 1)
+                if SALT_SEP in key:
+                    _, salt_part = key.rsplit(SALT_SEP, 1)
                     s_str, rng = salt_part.split(":", 1)
                     s = int(s_str)
                     lo, hi = (int(x) for x in rng.split("-"))
@@ -193,7 +216,7 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
                 overflow = max(0, len(pairs) - max_pairs)
                 if overflow:
                     pairs = pairs[:max_pairs]
-                out_pk.extend(f"{a}|{b}" for a, b in pairs)
+                out_pk.extend(f"{a}{PAIR_SEP}{b}" for a, b in pairs)
                 out_block.extend([key] * len(pairs))
                 out_over.extend([overflow] * len(pairs))
         return pd.DataFrame(
@@ -229,7 +252,7 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
                     "block_overflow": pd.Series(dtype="int64"),
                 }
             )
-        ab = df["pair_key"].str.split("|", n=1, expand=True)
+        ab = df["pair_key"].str.split(PAIR_SEP, n=1, expand=True)
         return pd.DataFrame(
             {
                 "conv_a": ab[0],

@@ -229,10 +229,31 @@ def score_pairs_fused(pairs: rd.Dataset, side_state, cfg: EngineConfig) -> rd.Da
             _SIDE_CACHE[key] = st
         convs, sig_mat, heads, chars, a_hash, a_w = st
         n = batch.num_rows
+        # NOTE: an id wider than the side table's fixed-width S-dtype would
+        # be truncated by the cast and then caught by the equality check.
         ca_arr = np.asarray(batch["conv_a"].to_pylist(), dtype=convs.dtype if len(convs) else "S1")
         cb_arr = np.asarray(batch["conv_b"].to_pylist(), dtype=convs.dtype if len(convs) else "S1")
         ia = np.searchsorted(convs, ca_arr)
         ib = np.searchsorted(convs, cb_arr)
+        if n:
+            # membership check: pairs derive from profiles, so every conv_id
+            # MUST be present in the side table — a miss is a pipeline bug
+            # (or a truncated id) and silently attaching a neighbour's
+            # profile would corrupt scores.
+            ia = np.minimum(ia, max(len(convs) - 1, 0))
+            ib = np.minimum(ib, max(len(convs) - 1, 0))
+            if len(convs) == 0 or not (
+                np.array_equal(convs[ia], ca_arr) and np.array_equal(convs[ib], cb_arr)
+            ):
+                n_miss = (
+                    n
+                    if len(convs) == 0
+                    else int((convs[ia] != ca_arr).sum() + (convs[ib] != cb_arr).sum())
+                )
+                raise ValueError(
+                    f"score_pairs_fused: {n_miss} pair conv_ids missing from "
+                    "the profile side table"
+                )
         if n:
             jac = (sig_mat[ia] == sig_mat[ib]).mean(axis=1)
             ca, cb = chars[ia], chars[ib]

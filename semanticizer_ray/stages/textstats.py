@@ -93,7 +93,22 @@ def quality_score(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
 
 
 class LangId:
-    """Stopword-profile language guesser (actor: profiles built once)."""
+    """Language guesser (actor: profiles built once).
+
+    Two-tier heuristic: non-latin scripts first by codepoint range (CJK
+    ideographs → zh, kana → ja, hangul → ko, cyrillic → ru — a script-ratio
+    check over the first 400 chars), then latin-script languages by
+    stopword-profile vote. Dependency-free and deterministic."""
+
+    _SCRIPTS = [
+        # (lang, ranges) — checked in order; kana before ideographs so
+        # Japanese text (which mixes kanji + kana) resolves to ja
+        ("ja", ((0x3040, 0x30FF),)),
+        ("ko", ((0xAC00, 0xD7AF), (0x1100, 0x11FF))),
+        ("zh", ((0x4E00, 0x9FFF), (0x3400, 0x4DBF))),
+        ("ru", ((0x0400, 0x04FF),)),
+    ]
+    _SCRIPT_RATIO = 0.15  # of the first 400 chars
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
@@ -103,13 +118,27 @@ class LangId:
         texts = batch[self.text_col].to_pylist()
         out = []
         for t in texts:
-            words = [w.lower() for w in _WS_TOKEN.findall(t or "")][:200]
-            best, best_n = "unknown", 0
-            for lang, stops in self.profiles.items():
-                k = sum(w in stops for w in words)
-                if k > best_n:
-                    best, best_n = lang, k
-            out.append(best)
+            head = (t or "")[:400]
+            pred = None
+            if head:
+                cps = np.frombuffer(head.encode("utf-32-le"), dtype=np.uint32)
+                denom = max(1, (cps > 0x20).sum())
+                for lang, ranges in self._SCRIPTS:
+                    k = 0
+                    for lo, hi in ranges:
+                        k += int(((cps >= lo) & (cps <= hi)).sum())
+                    if k / denom >= self._SCRIPT_RATIO:
+                        pred = lang
+                        break
+            if pred is None:
+                words = [w.lower() for w in _WS_TOKEN.findall(t or "")][:200]
+                best, best_n = "unknown", 0
+                for lang, stops in self.profiles.items():
+                    k = sum(w in stops for w in words)
+                    if k > best_n:
+                        best, best_n = lang, k
+                pred = best
+            out.append(pred)
         return batch.append_column("lang_pred", pa.array(out, pa.string()))
 
 
@@ -121,16 +150,37 @@ def lang_id(ds: rd.Dataset, text_col: str = "text", concurrency: int = 4) -> rd.
 
 
 def fingerprint(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
-    """Adds ``fp``: 64-bit FNV-1a rolling hash of the text bytes (hex)."""
+    """Adds ``fp``: 64-bit polynomial rolling hash of the text bytes (hex),
+    FNV-prime base with a murmur-style final avalanche.
+
+    Vectorized: one ``(bytes · prime^i).sum`` numpy reduction per document
+    (powers precomputed once per batch to the longest doc) — replaces the
+    round-1 per-byte Python FNV loop."""
+    PRIME = np.uint64(1099511628211)
+    SEED = np.uint64(14695981039346656037)
+    MIX = np.uint64(0xFF51AFD7ED558CCD)
 
     def f(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
-        fps = []
-        for t in texts:
-            acc = 14695981039346656037
-            for byte in (t or "").encode("utf-8"):
-                acc = ((acc ^ byte) * 1099511628211) % (1 << 64)
-            fps.append(f"{acc:016x}")
+        bufs = [
+            np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8) for t in texts
+        ]
+        max_len = max((len(b) for b in bufs), default=0)
+        with np.errstate(over="ignore"):
+            pows = np.ones(max(max_len, 1), dtype=np.uint64)
+            if max_len > 1:
+                np.cumprod(
+                    np.full(max_len - 1, PRIME, dtype=np.uint64), out=pows[1:]
+                )
+            fps = []
+            for b in bufs:
+                acc = SEED + (b.astype(np.uint64) * pows[: len(b)]).sum(
+                    dtype=np.uint64
+                )
+                acc ^= acc >> np.uint64(33)
+                acc *= MIX
+                acc ^= acc >> np.uint64(33)
+                fps.append(f"{int(acc):016x}")
         return batch.append_column("fp", pa.array(fps, pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")

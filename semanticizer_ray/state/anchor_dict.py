@@ -80,44 +80,71 @@ def build_anchor_dict(corpus: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
 
     partials = corpus.map_batches(partial, batch_format="pandas", batch_size=65536)
 
-    def finalize(group: pd.DataFrame) -> pd.DataFrame:
-        label = group["label"].iloc[0]
-        text_occ = int(group["occ"].sum())
-        text_doc = int(group["doc_id"].nunique())
-        linked = group[group["sense_id"] >= 0]
-        link_occ = int(linked["occ"].sum())
-        link_doc = int(linked["doc_id"].nunique())
-        senses = []
-        if link_occ > 0:
-            sg = linked.groupby("sense_id", sort=True).agg(
+    def finalize_block(df: pd.DataFrame) -> pa.Table:
+        """Complete label groups (many per block) → one dict row per label,
+        vectorized with frame-level pandas aggregations — NOT the ~2 ms/group
+        ``map_groups`` pattern (``functions/groupagg.py`` module docstring)."""
+        if len(df) == 0:
+            return DICT_SCHEMA.empty_table()
+        # partial rows from different input batches may repeat a
+        # (label, sense, doc) key: combine exactly once
+        g = (
+            df.groupby(["label", "sense_id", "doc_id"], sort=False)
+            .agg(
+                occ=("occ", "sum"),
+                from_title=("from_title", "any"),
+                from_redirect=("from_redirect", "any"),
+            )
+            .reset_index()
+        )
+        by_label = g.groupby("label", sort=True)
+        stats = by_label.agg(text_occ=("occ", "sum"), text_doc=("doc_id", "nunique"))
+        linked = g[g["sense_id"] >= 0]
+        lstats = linked.groupby("label", sort=False).agg(
+            link_occ=("occ", "sum"), link_doc=("doc_id", "nunique")
+        )
+        stats = stats.join(lstats, how="left").fillna(0)
+        sg = (
+            linked.groupby(["label", "sense_id"], sort=True)
+            .agg(
                 occ=("occ", "sum"),
                 doc=("doc_id", "nunique"),
                 from_title=("from_title", "any"),
                 from_redirect=("from_redirect", "any"),
             )
-            senses = [
+            .reset_index()
+        )
+        senses_map: dict[str, list[dict]] = {}
+        for row in sg.itertuples(index=False):
+            senses_map.setdefault(row.label, []).append(
                 {
-                    "sense_id": int(sid),
-                    "occ": int(r.occ),
-                    "doc": int(r.doc),
-                    "from_title": bool(r.from_title),
-                    "from_redirect": bool(r.from_redirect),
+                    "sense_id": int(row.sense_id),
+                    "occ": int(row.occ),
+                    "doc": int(row.doc),
+                    "from_title": bool(row.from_title),
+                    "from_redirect": bool(row.from_redirect),
                 }
-                for sid, r in sg.iterrows()
-            ]
-        return pd.DataFrame(
+            )
+        labels = list(stats.index)
+        return pa.table(
             {
-                "label": [label],
-                "norm": [normalize_text(label, ncfg)],
-                "link_occ": [link_occ],
-                "link_doc": [link_doc],
-                "text_occ": [text_occ],
-                "text_doc": [text_doc],
-                "senses": [senses],
+                "label": pa.array(labels, pa.string()),
+                "norm": pa.array(
+                    [normalize_text(lab, ncfg) for lab in labels], pa.string()
+                ),
+                "link_occ": pa.array(stats["link_occ"].astype("int64")),
+                "link_doc": pa.array(stats["link_doc"].astype("int64")),
+                "text_occ": pa.array(stats["text_occ"].astype("int64")),
+                "text_doc": pa.array(stats["text_doc"].astype("int64")),
+                "senses": pa.array(
+                    [senses_map.get(lab, []) for lab in labels], SENSE_TYPE
+                ),
             }
         )
 
-    return partials.groupby("label").map_groups(finalize, batch_format="pandas")
+    from ..functions.groupagg import sorted_apply_exact
+
+    return sorted_apply_exact(partials, "label", finalize_block)
 
 
 class AnchorDict:
