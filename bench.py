@@ -57,11 +57,13 @@ def run_bench() -> dict:
     timings["er_clusters"] = round(headline, 3)
 
     extra = [
+        "er_clusters_scatter",
         "q1_pricing_summary",
         "q6_revenue",
         "top_revenue_orders",
         "orders_by_nation",
         "revenue_by_nation",
+        "order_priority_revenue",
         "events_per_type",
         "events_hourly",
         "doc_token_counts",

@@ -92,6 +92,12 @@ class ScoringConfig:
     )
     bias: float = 0.0
     threshold: float = 0.55  # score >= threshold → is_match
+    # scorer side-state path gate: at or below this many profile rows the
+    # per-conv side table is broadcast (one ray.put, zero-copy numpy); above
+    # it scoring takes the conv-keyed scatter/gather (no driver
+    # materialization, no whole-dataset broadcast — the 10^12-turn path).
+    # ~1.3 KB/conv → the default caps the broadcast at ~130 MB.
+    side_broadcast_gate: int = 100_000
 
 
 @dataclass(frozen=True)

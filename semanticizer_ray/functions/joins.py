@@ -1,0 +1,133 @@
+"""Distributed equality joins (SURVEY.md J2): one operator, two plans.
+
+- **broadcast hash join** — build (right) side at or below ``broadcast_gate``
+  rows: collected once, ``ray.put`` once, vectorized pandas merge per probe
+  batch. Zero shuffle; the dimension-table plan.
+- **sort-merge bucket join** — both sides above the gate: rows tagged with a
+  side marker and unioned under one schema, ONE range-partitioned sort by
+  the key, then a per-block pandas merge over complete key groups
+  (``sorted_apply_exact``). Neither side is ever driver-materialized — the
+  large × large scale plan. Skewed keys straddling block boundaries route
+  through the remainder pass exactly like every other grouped op.
+
+Deliberately NOT ``ray.data.Dataset.join``: in ray 2.49 it mishandles empty
+partitions and mixed block types inside composed plans (see
+``functions/groupagg.py``); this operator reuses the engine's own shuffle
+core instead.
+
+Semantics: ``how`` ∈ {inner, left, semi, anti}. ``left`` keeps unmatched
+probe rows (build columns null — note the pandas int→float widening on
+null-bearing columns); semi/anti emit probe columns only. Key columns must
+share names on both sides (rename upstream); non-key column names must not
+collide.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .groupagg import sorted_apply_exact
+
+_HOW = ("inner", "left", "semi", "anti")
+
+
+def _keys(on) -> list[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str | list[str],
+    how: str = "inner",
+    broadcast_gate: int = 200_000,
+    right_count: int | None = None,
+) -> rd.Dataset:
+    """Join ``left`` (probe) with ``right`` (build) on equal key columns.
+
+    ``right_count`` skips the count pass when the caller already knows the
+    build-side size. The gate picks the physical plan; results are
+    identical (asserted by tests)."""
+    if how not in _HOW:
+        raise ValueError(f"join: how must be one of {_HOW}")
+    keys = _keys(on)
+    n_right = right.count() if right_count is None else right_count
+    if n_right <= broadcast_gate:
+        return _broadcast_join(left, right, keys, how)
+    return _sort_merge_join(left, right, keys, how)
+
+
+def _broadcast_join(
+    left: rd.Dataset, right: rd.Dataset, keys: list[str], how: str
+) -> rd.Dataset:
+    import ray
+
+    rdf = right.to_pandas()
+    if rdf.empty and not len(rdf.columns):  # empty datasets lose their schema
+        names = right.schema(fetch_if_missing=True)
+        rdf = pd.DataFrame({c: [] for c in (names.names if names else keys)})
+    ref = ray.put(rdf)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        if how in ("inner", "left"):
+            return batch.merge(r, on=keys, how=how)
+        hit = batch.merge(r[keys].drop_duplicates(), on=keys, how="left", indicator=True)
+        mask = (hit["_merge"] == "both").to_numpy()
+        return batch[mask if how == "semi" else ~mask]
+
+    return left.map_batches(probe, batch_format="pandas")
+
+
+def _sort_merge_join(
+    left: rd.Dataset, right: rd.Dataset, keys: list[str], how: str
+) -> rd.Dataset:
+    lschema = left.schema(fetch_if_missing=True)
+    rschema = right.schema(fetch_if_missing=True)
+    if lschema is None or rschema is None:
+        raise ValueError("join: cannot resolve input schemas")
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    for k in keys:
+        if k not in ltypes or k not in rtypes:
+            raise ValueError(f"join: key column {k!r} missing from an input")
+    lcols = [c for c in lschema.names if c not in keys]
+    rcols = [c for c in rschema.names if c not in keys]
+    clash = set(lcols) & set(rcols)
+    if clash:
+        raise ValueError(f"join: non-key column name collision: {sorted(clash)}")
+
+    def tag(side: str, own: list[str], other: list[str], other_types) -> "callable":
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols: dict[str, pa.ChunkedArray | pa.Array] = {}
+            for k in keys:
+                cols[k] = batch[k]
+            for c in own:
+                cols[c] = batch[c]
+            for c in other:
+                cols[c] = pa.nulls(n, other_types[c])
+            cols["__side"] = pa.array([side] * n, pa.string())
+            return pa.table(cols)
+
+        return f
+
+    # both sides mapped into the SAME unified schema, then one sort
+    lt = left.map_batches(tag("l", lcols, rcols, rtypes), batch_format="pyarrow")
+    rt = right.map_batches(tag("r", rcols, lcols, ltypes), batch_format="pyarrow")
+    out_cols = keys + lcols + (rcols if how in ("inner", "left") else [])
+
+    def join_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.reindex(columns=out_cols)
+        lp = df.loc[df["__side"] == "l", keys + lcols]
+        rp = df.loc[df["__side"] == "r", keys + rcols]
+        if how in ("inner", "left"):
+            return lp.merge(rp, on=keys, how=how)[out_cols]
+        hit = lp.merge(rp[keys].drop_duplicates(), on=keys, how="left", indicator=True)
+        mask = (hit["_merge"] == "both").to_numpy()
+        return lp[mask if how == "semi" else ~mask]
+
+    return sorted_apply_exact(lt.union(rt), keys, join_block)

@@ -205,30 +205,43 @@ GROUP BY n_name ORDER BY n_name
 
 
 def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q5-flavored: lineitem ⋈ orders ⋈ customer ⋈ nation revenue."""
-    import pyarrow.parquet as pq
+    """TPC-H Q5-flavored: lineitem ⋈ orders ⋈ customer ⋈ nation revenue.
 
-    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
-    orders = pq.read_table(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]).to_pandas()
-    side = orders.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
-        nation, left_on="c_nationkey", right_on="n_nationkey"
+    Every hop routes through the general ``join`` operator
+    (``functions/joins.py``): the dimension hops (nation, customer) take its
+    broadcast plan, and the fact hop (lineitem ⋈ orders) flips to the
+    distributed sort-merge plan automatically once orders exceeds the row
+    gate — no driver-collected fact table at any scale."""
+    from ..functions.joins import join
+
+    nation = read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust = read_table(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).rename_columns({"c_nationkey": "n_nationkey", "c_custkey": "o_custkey"})
+    cust_n = join(cust, nation, on="n_nationkey").select_columns(["o_custkey", "n_name"])
+
+    orders = read_table(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    ).rename_columns({"o_orderkey": "l_orderkey"})
+    orders_n = join(orders, cust_n, on="o_custkey").select_columns(
+        ["l_orderkey", "n_name"]
     )
-    lookup_ref = ray.put(dict(zip(side["o_orderkey"], side["n_name"])))
 
-    ds = read_table(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"])
-
-    class Attach:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.lookup.get(c) for c in t["l_orderkey"].to_pylist()]
-            rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-            return pa.table({"n_name": pa.array(names, pa.string()), "rev": rev})
-
+    li = read_table(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
     out = (
-        ds.map_batches(Attach, batch_format="pyarrow", concurrency=(1, 4))
+        join(li, orders_n, on="l_orderkey")
         .groupby("n_name")
         .aggregate(Sum("rev", alias_name="revenue"))
         .to_pandas()
@@ -244,6 +257,77 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
               JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
+"""
+
+
+def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """Large × large fact join on the distributed SORT-MERGE plan, forced
+    (``broadcast_gate=0``) so the driver gate verifies the scale plan
+    against the SQL oracle — no broadcast, no driver materialization of
+    either side."""
+    from ..functions.joins import join
+
+    orders = read_table(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    ).rename_columns({"o_orderkey": "l_orderkey"})
+    li = read_table(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        join(li, orders, on="l_orderkey", broadcast_gate=0)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    return _round_cols(out, ["revenue"])
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def events_sample(sf_dir: str) -> pd.DataFrame:
+    """O3 sampling: deterministic ~5% systematic sample via a multiplicative
+    hash of the row key — reproducible across runs/engines (unlike
+    ``random_sample``) so it carries a full SQL oracle."""
+    ds = read_table(_p(sf_dir, "events"), columns=["event_id", "user_id", "value"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(pc.multiply_checked(
+            pc.cast(t["event_id"], pa.int64()), pa.scalar(2654435761, pa.int64())
+        ), pa.scalar((1 << 32) - 1, pa.int64()))
+        # h % 100 (pyarrow 16 has no mod kernel; h is non-negative)
+        m = pc.subtract(h, pc.multiply(pc.divide(h, pa.scalar(100, pa.int64())),
+                                       pa.scalar(100, pa.int64())))
+        return t.filter(pc.less(m, pa.scalar(5, pa.int64())))
+
+    out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return _round_cols(
+        out.sort_values("event_id").reset_index(drop=True), ["value"]
+    )
+
+
+EVENTS_SAMPLE_SQL = """
+SELECT event_id, user_id, round(value, 2) AS value
+FROM events
+WHERE ((event_id * 2654435761) & 4294967295) % 100 < 5
+ORDER BY event_id
 """
 
 
@@ -511,14 +595,29 @@ def events_asof_orders(sf_dir: str) -> pd.DataFrame:
     before the event timestamp."""
     import pyarrow.parquet as pq
 
-    from .streaming import asof_latest_order
+    from .streaming import asof_latest_order, asof_latest_order_distributed
 
-    orders = pq.read_table(
-        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    ).to_pandas()
-    n_keys = int(orders["o_custkey"].max()) + 1
+    n_orders = pq.read_metadata(_p(sf_dir, "orders")).num_rows
+    n_keys = int(
+        pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey"])["o_custkey"]
+        .combine_chunks()
+        .to_numpy()
+        .max()
+    ) + 1
     ds = read_table(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
-    out = asof_latest_order(ds, orders, n_keys).to_pandas()
+    # count gate: small orders side broadcasts; past the gate the bucketed
+    # scatter/gather as-of runs (sf0.01 exceeds it → the driver oracle
+    # verifies the DISTRIBUTED plan)
+    if n_orders <= 10_000:
+        orders = pq.read_table(
+            _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+        ).to_pandas()
+        out = asof_latest_order(ds, orders, n_keys).to_pandas()
+    else:
+        orders_ds = read_table(
+            _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+        )
+        out = asof_latest_order_distributed(ds, orders_ds, n_keys).to_pandas()
     return out[["event_id", "user_id", "o_orderkey"]].sort_values(
         "event_id"
     ).reset_index(drop=True)
@@ -639,6 +738,23 @@ def er_clusters(sf_dir: str) -> pd.DataFrame:
     return res.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
 
 
+def er_clusters_scatter(sf_dir: str) -> pd.DataFrame:
+    """Flagship ER with ``side_broadcast_gate=0``: the conv-keyed
+    scatter/gather scoring path (the 10^12-turn plan — no whole-dataset
+    broadcast) runs end-to-end. Rows-only here; byte-identical edges to the
+    broadcast path are asserted by the parity test."""
+    from ..config import ScoringConfig
+    from .entity_resolution import resolve_entities
+
+    fx = _er_fixture_dir(sf_dir)
+    base = EngineConfig()
+    dict_table = _anchor_dict_table(fx, base)  # dict build is config-independent here
+    cfg = EngineConfig(scoring=ScoringConfig(side_broadcast_gate=0))
+    transcripts = rd.read_parquet(os.path.join(fx, "transcripts.parquet"))
+    res = resolve_entities(transcripts, cfg, anchor_dict_source=dict_table)
+    return res.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
+
+
 def er_mentions(sf_dir: str) -> pd.DataFrame:
     """T3 anchor mention extraction on synthetic transcripts (rows-only)."""
     from ..stages.mentions import extract_mentions
@@ -743,6 +859,25 @@ def doc_stopword_removal(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+from ..stages.textstats import _STOPWORDS as _LANG_STOPWORDS
+
+_STOPS_SQL = ", ".join(
+    f"'{w}'" for w in sorted(set().union(*_LANG_STOPWORDS.values()))
+)
+
+# exact SQL mirror of clean_tweet_text (sequential regex passes, innermost
+# first) + remove_stopwords (whitespace tokens, lowercase NOT IN list)
+DOC_STOPWORDS_SQL = f"""
+SELECT doc_id, text,
+  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    text, '(^|\\s)RT\\b', ' ', 'g'), '@\\w+', ' ', 'g'), '#(\\w+)', '\\1', 'g'),
+    'https?://\\S+', ' ', 'g'), '\\s+', ' ', 'g')) AS clean_text,
+  array_to_string(list_filter(string_split(text, ' '),
+    w -> w <> '' AND lower(w) NOT IN ({_STOPS_SQL})), ' ') AS content_text
+FROM documents ORDER BY doc_id
+"""
+
+
 def media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: synthetic media table → decode/feature actor
     pool (deterministic fake decode; rows-only)."""
@@ -767,6 +902,8 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "distinct_event_users": (distinct_event_users, DISTINCT_USERS_SQL),
     "filter_high_quantity": (filter_high_quantity, FILTER_SQL),
+    "order_priority_revenue": (order_priority_revenue, ORDER_PRIORITY_SQL),
+    "events_sample": (events_sample, EVENTS_SAMPLE_SQL),
     "events_sessionized": (events_sessionized, EVENTS_SESSION_SQL),
     "events_running_totals": (events_running_totals, EVENTS_RUNNING_SQL),
     "events_asof_orders": (events_asof_orders, EVENTS_ASOF_SQL),
@@ -780,6 +917,7 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "components_supplier_part": (components_supplier_part, COMPONENTS_SQL),
     # rows-only (non-SQL-expressible: sketches, models, actor state)
     "er_clusters": (er_clusters, None),
+    "er_clusters_scatter": (er_clusters_scatter, None),
     "er_mentions": (er_mentions, None),
     "minhash_dedup_docs": (minhash_dedup_docs, None),
     "simhash_docs": (simhash_docs, None),
@@ -788,6 +926,6 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "doc_fingerprints": (doc_fingerprints, None),
     "knn_lsh_cosine": (knn_lsh_cosine, None),
     "embedding_neardup_pairs": (embedding_neardup_pairs, None),
-    "doc_stopword_removal": (doc_stopword_removal, None),
+    "doc_stopword_removal": (doc_stopword_removal, DOC_STOPWORDS_SQL),
     "media_features": (media_features, None),
 }

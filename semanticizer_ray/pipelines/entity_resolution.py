@@ -27,7 +27,7 @@ from ..stages.blocking import anchor_block_keys, lsh_block_keys
 from ..stages.clustering import cluster_edges
 from ..stages.normalize_turns import normalize_turns
 from ..stages.pairs import candidate_pairs
-from ..stages.scoring import build_side_state, score_pairs_fused
+from ..stages.scoring import score_pairs
 from ..stages.signatures import conv_profiles
 
 
@@ -57,8 +57,7 @@ def resolve_entities(
 
     pairs = candidate_pairs(keys, cfg)
 
-    side_state = build_side_state(profiles)
-    edges = score_pairs_fused(pairs, side_state, cfg).materialize()
+    edges = score_pairs(pairs, profiles, cfg).materialize()
     clusters = cluster_edges(
         edges, profiles.select_columns(["conv_id"]), cfg, num_partitions
     )
@@ -122,8 +121,7 @@ def resolve_entities_checkpointed(
     pairs = ck.stage("pairs", prof.fingerprint, make_pairs)
 
     def make_edges() -> rd.Dataset:
-        side_state = build_side_state(prof.dataset)
-        return score_pairs_fused(pairs.dataset, side_state, cfg)
+        return score_pairs(pairs.dataset, prof.dataset, cfg)
 
     edges = ck.stage(
         "edges", f"{pairs.fingerprint}+{prof.fingerprint}", make_edges

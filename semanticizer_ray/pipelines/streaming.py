@@ -124,3 +124,99 @@ def asof_latest_order(events: rd.Dataset, orders_df: pd.DataFrame, n_keys: int) 
         return out[["event_id", "user_id", "o_orderkey", "o_orderdate"]]
 
     return events.map_batches(attach, batch_format="pandas", batch_size=65536)
+
+
+def asof_latest_order_distributed(
+    events: rd.Dataset, orders: rd.Dataset, n_keys: int
+) -> rd.Dataset:
+    """Same semantics as ``asof_latest_order`` with NO broadcast: both sides
+    union under one schema keyed by the join key, one range-partitioned sort
+    co-locates each key's events and orders, and ``pd.merge_asof`` runs per
+    complete key group — the scale plan when orders is itself a fact table
+    (SURVEY.md J2 bucket-join pattern applied to an as-of join)."""
+    import pyarrow as pa
+
+    def ev_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        jk = pc.subtract(
+            pc.cast(batch["user_id"], pa.int64()),
+            pc.multiply(
+                pc.divide(pc.cast(batch["user_id"], pa.int64()),
+                          pa.scalar(n_keys, pa.int64())),
+                pa.scalar(n_keys, pa.int64()),
+            ),
+        )  # user_id % n_keys (non-negative ids)
+        return pa.table(
+            {
+                "join_key": jk,
+                "kind": pa.array(["e"] * n, pa.string()),
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "o_orderkey": pa.nulls(n, pa.int64()),
+                "o_orderdate": pa.nulls(n, batch["ts"].type),
+            }
+        )
+
+    def od_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "join_key": batch["o_custkey"],
+                "kind": pa.array(["o"] * n, pa.string()),
+                "event_id": pa.nulls(n, pa.int64()),
+                "user_id": pa.nulls(n, pa.int64()),
+                "ts": pa.nulls(n, batch["o_orderdate"].type),
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderdate": batch["o_orderdate"],
+            }
+        )
+
+    combined = events.select_columns(["event_id", "user_id", "ts"]).map_batches(
+        ev_rows, batch_format="pyarrow"
+    ).union(
+        orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            od_rows, batch_format="pyarrow"
+        )
+    )
+
+    def asof_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                }
+            )
+        ev = df.loc[
+            df["kind"] == "e", ["join_key", "event_id", "user_id", "ts"]
+        ].sort_values("ts")
+        od = df.loc[df["kind"] == "o", ["join_key", "o_orderkey", "o_orderdate"]]
+        # equal-date ties resolve to max o_orderkey (same rule as the
+        # broadcast path / oracle)
+        od = od.sort_values(["o_orderdate", "o_orderkey"])
+        out = pd.merge_asof(
+            ev,
+            od,
+            left_on="ts",
+            right_on="o_orderdate",
+            by="join_key",
+            direction="backward",
+        )
+        ok = out["o_orderkey"]
+        if ok.notna().all():  # keep int64 when every event matched (the
+            ok = ok.astype("int64")  # broadcast path's dtype behavior)
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].astype("int64"),
+                "user_id": out["user_id"].astype("int64"),
+                "o_orderkey": ok,
+                "o_orderdate": out["o_orderdate"],
+            }
+        )
+
+    return sorted_apply_exact(combined, "join_key", asof_block)

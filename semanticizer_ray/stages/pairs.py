@@ -151,7 +151,7 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
                 "block_key": pa.array(out_key, pa.string()),
                 "conv_id": pa.array(out_conv, pa.string()),
             }
-        )
+        ).select(cold.column_names)  # align column order for concat
         return pa.concat_tables([cold, exploded])
 
     salted = block_rows.map_batches(salt_explode, batch_format="pyarrow")

@@ -168,6 +168,101 @@ def _label_hash64(s: str) -> int:
     return int.from_bytes(_hl.md5(s.encode()).digest()[:8], "little", signed=True) or 1
 
 
+def _anchor_matrices(labels: list, weights: list) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed-width label-hash/weight matrices (n, MAX_SIDE_ANCHORS); 0 pads.
+
+    The single construction shared by the broadcast side state and the
+    scatter-path side rows — anchor overlap must be computed on identical
+    matrices for the two paths to produce byte-identical edges."""
+    n = len(labels)
+    a_hash = np.zeros((n, MAX_SIDE_ANCHORS), dtype=np.int64)
+    a_w = np.zeros((n, MAX_SIDE_ANCHORS), dtype=np.float64)
+    for row in range(n):
+        ls = labels[row] or []
+        ws = weights[row] or []
+        for k, (lab, w) in enumerate(zip(ls, ws)):
+            if k >= MAX_SIDE_ANCHORS:
+                break
+            a_hash[row, k] = _label_hash64(lab)
+            a_w[row, k] = w
+    return a_hash, a_w
+
+
+def _feature_arrays(
+    sig_a: np.ndarray,
+    sig_b: np.ndarray,
+    heads_a: np.ndarray,
+    heads_b: np.ndarray,
+    chars_a: np.ndarray,
+    chars_b: np.ndarray,
+    ah_a: np.ndarray,
+    aw_a: np.ndarray,
+    ah_b: np.ndarray,
+    aw_b: np.ndarray,
+) -> tuple[np.ndarray, ...]:
+    """Vectorized per-pair features over aligned row arrays — the ONE
+    scoring kernel shared by the broadcast (``score_pairs_fused``) and
+    scatter/gather (``score_pairs_scatter``) paths: identical float ops →
+    byte-identical edges (asserted by the parity test)."""
+    n = len(chars_a)
+    if n == 0:
+        e = np.empty(0)
+        return e, e, e, e, e
+    jac = (sig_a == sig_b).mean(axis=1)
+    # anchor overlap on fixed-width hash matrices: match[i,j,k] ⇔
+    # hash j of a == hash k of b (0 = padding, never matches)
+    match = (ah_a[:, :, None] == ah_b[:, None, :]) & (ah_a[:, :, None] != 0)
+    shared = (aw_a[:, :, None] * match).sum(axis=(1, 2)) + (
+        aw_b[:, None, :] * match
+    ).sum(axis=(1, 2))
+    union = aw_a.sum(axis=1) + aw_b.sum(axis=1)
+    ao = np.where(union > 0, shared / np.where(union > 0, union, 1.0), 0.0)
+    hi = np.maximum(np.maximum(chars_a, chars_b), 1.0)
+    lr = np.minimum(chars_a, chars_b) / hi
+    jw = jac.copy()
+    lv = jac.copy()
+    band = np.flatnonzero((jac > CASCADE_LO) & (jac < CASCADE_HI))
+    if len(band):
+        ha = heads_a[band]
+        hb = heads_b[band]
+        for k, i in enumerate(band):
+            jw[i] = jaro_winkler(str(ha[k]), str(hb[k]), cap=JW_CAP)
+        lv[band] = batch_levenshtein_ratio(
+            np.asarray(ha, dtype=object), np.asarray(hb, dtype=object), cap=LEV_CAP
+        )
+    return jac, jw, lv, ao, lr
+
+
+def _edges_table(
+    conv_a, conv_b, block_id, feats: tuple[np.ndarray, ...], scfg: ScoringConfig
+) -> pa.Table:
+    jac, jw, lv, ao, lr = feats
+    wsum = sum(scfg.weights.values()) or 1.0
+    score_v = np.full(len(jac), scfg.bias, dtype=np.float64)
+    for name, arr in (
+        ("jaccard_est", jac),
+        ("jaro_winkler", jw),
+        ("lev_ratio", lv),
+        ("anchor_overlap", ao),
+        ("len_ratio", lr),
+    ):
+        score_v += (scfg.weights[name] / wsum) * arr
+    return pa.table(
+        {
+            "conv_a": conv_a,
+            "conv_b": conv_b,
+            "block_id": block_id,
+            "jaccard_est": pa.array(jac),
+            "jaro_winkler": pa.array(jw),
+            "lev_ratio": pa.array(lv),
+            "anchor_overlap": pa.array(ao),
+            "len_ratio": pa.array(lr),
+            "score": pa.array(score_v),
+            "is_match": pa.array(score_v >= scfg.threshold),
+        }
+    )
+
+
 def build_side_state(profiles: rd.Dataset):
     """Driver-side broadcast state for the fused scorer — ALL numpy so every
     worker reads it ZERO-COPY from the object store (lists/dicts would be
@@ -196,16 +291,9 @@ def build_side_state(profiles: rd.Dataset):
     chars = np.asarray(table["n_chars"].to_pylist(), dtype=np.float64)[order] if n else np.empty(0)
     labels = table["anchor_labels"].to_pylist()
     weights = table["anchor_weights"].to_pylist()
-    a_hash = np.zeros((n, MAX_SIDE_ANCHORS), dtype=np.int64)
-    a_w = np.zeros((n, MAX_SIDE_ANCHORS), dtype=np.float64)
-    for new_row, old_row in enumerate(order):
-        ls = labels[old_row] or []
-        ws = weights[old_row] or []
-        for k, (lab, w) in enumerate(zip(ls, ws)):
-            if k >= MAX_SIDE_ANCHORS:
-                break
-            a_hash[new_row, k] = _label_hash64(lab)
-            a_w[new_row, k] = w
+    a_hash, a_w = _anchor_matrices(
+        [labels[o] for o in order], [weights[o] for o in order]
+    )
     return ray.put((convs, sig_mat, heads, chars, a_hash, a_w))
 
 
@@ -217,8 +305,6 @@ def score_pairs_fused(pairs: rd.Dataset, side_state, cfg: EngineConfig) -> rd.Da
     import ray
 
     scfg = cfg.scoring
-    wsum = sum(scfg.weights.values()) or 1.0
-    w_vec = {k: v / wsum for k, v in scfg.weights.items()}
 
     def score(batch: pa.Table) -> pa.Table:
         key = ("side_state", side_state.hex())
@@ -254,60 +340,166 @@ def score_pairs_fused(pairs: rd.Dataset, side_state, cfg: EngineConfig) -> rd.Da
                     f"score_pairs_fused: {n_miss} pair conv_ids missing from "
                     "the profile side table"
                 )
-        if n:
-            jac = (sig_mat[ia] == sig_mat[ib]).mean(axis=1)
-            ca, cb = chars[ia], chars[ib]
-            # anchor overlap on fixed-width hash matrices: match[i,j,k] ⇔
-            # hash j of a == hash k of b (0 = padding, never matches)
-            A, B = a_hash[ia], a_hash[ib]
-            WA, WB = a_w[ia], a_w[ib]
-            match = (A[:, :, None] == B[:, None, :]) & (A[:, :, None] != 0)
-            shared = (WA[:, :, None] * match).sum(axis=(1, 2)) + (
-                WB[:, None, :] * match
-            ).sum(axis=(1, 2))
-            union = WA.sum(axis=1) + WB.sum(axis=1)
-            ao = np.where(union > 0, shared / np.where(union > 0, union, 1.0), 0.0)
-        else:
-            jac = np.empty(0)
-            ca = cb = ao = np.empty(0)
-        hi = np.maximum(np.maximum(ca, cb), 1.0)
-        lr = np.minimum(ca, cb) / hi
-        jw = jac.copy()
-        lv = jac.copy()
-        band = np.flatnonzero((jac > CASCADE_LO) & (jac < CASCADE_HI))
-        if len(band):
-            ha = heads[ia[band]]
-            hb = heads[ib[band]]
-            for k, i in enumerate(band):
-                jw[i] = jaro_winkler(str(ha[k]), str(hb[k]), cap=JW_CAP)
-            lv[band] = batch_levenshtein_ratio(
-                np.asarray(ha, dtype=object), np.asarray(hb, dtype=object), cap=LEV_CAP
+            feats = _feature_arrays(
+                sig_mat[ia], sig_mat[ib], heads[ia], heads[ib],
+                chars[ia], chars[ib], a_hash[ia], a_w[ia], a_hash[ib], a_w[ib],
             )
-        score_v = np.full(n, scfg.bias, dtype=np.float64)
-        for name, arr in (
-            ("jaccard_est", jac),
-            ("jaro_winkler", jw),
-            ("lev_ratio", lv),
-            ("anchor_overlap", ao),
-            ("len_ratio", lr),
-        ):
-            score_v += w_vec[name] * arr
-        return pa.table(
-            {
-                "conv_a": batch["conv_a"],
-                "conv_b": batch["conv_b"],
-                "block_id": batch["block_id"],
-                "jaccard_est": pa.array(jac),
-                "jaro_winkler": pa.array(jw),
-                "lev_ratio": pa.array(lv),
-                "anchor_overlap": pa.array(ao),
-                "len_ratio": pa.array(lr),
-                "score": pa.array(score_v),
-                "is_match": pa.array(score_v >= scfg.threshold),
-            }
+        else:
+            e = np.empty(0)
+            feats = (e, e, e, e, e)
+        return _edges_table(
+            batch["conv_a"], batch["conv_b"], batch["block_id"], feats, scfg
         )
 
     return pairs.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+def build_side_rows(profiles: rd.Dataset) -> rd.Dataset:
+    """Per-conv compact payload rows for the scatter path (one short row per
+    conversation; anchor matrices pre-packed to fixed-width binary so the
+    attach block is a plain merge)."""
+    import pyarrow.compute as pc
+
+    def shrink(batch: pa.Table) -> pa.Table:
+        head = pc.utf8_slice_codeunits(batch["text_head"], 0, max(LEV_CAP, JW_CAP))
+        ah, aw = _anchor_matrices(
+            batch["anchor_labels"].to_pylist(), batch["anchor_weights"].to_pylist()
+        )
+        n = batch.num_rows
+        return pa.table(
+            {
+                "ckey": batch["conv_id"],
+                "kind": pa.array(["p"] * n, pa.string()),
+                "pair_key": pa.nulls(n, pa.string()),
+                "pos": pa.nulls(n, pa.string()),
+                "block_id": pa.nulls(n, pa.string()),
+                "sig": batch["sig"],
+                "head": head,
+                "n_chars": pc.cast(batch["n_chars"], pa.float64()),
+                "ah": pa.array([r.tobytes() for r in ah], pa.binary()),
+                "aw": pa.array([r.tobytes() for r in aw], pa.binary()),
+            }
+        )
+
+    return profiles.select_columns(["conv_id"] + SIDE_COLS).map_batches(
+        shrink, batch_format="pyarrow"
+    )
+
+
+def score_pairs_scatter(
+    pairs: rd.Dataset, profiles: rd.Dataset, cfg: EngineConfig
+) -> rd.Dataset:
+    """Scored edges WITHOUT any whole-dataset broadcast: the per-conv side
+    payload rides a conv-keyed scatter/gather bucket join (the
+    ``clustering.py`` pattern; deliberately NOT ``Dataset.join`` — ray 2.49
+    mishandles empty partitions inside composed plans):
+
+    1. explode each deduplicated pair into two (ckey=conv, pair_key, pos)
+       half-rows; union with the per-conv payload rows;
+    2. ``sorted_apply_exact(ckey)``: every half-row picks up its
+       conversation's payload (vectorized merge per complete key group);
+    3. ``sorted_apply_exact(pair_key)``: the two halves of each pair meet;
+       one vectorized ``_feature_arrays`` call per block scores all pairs.
+
+    Byte-identical to ``score_pairs_fused`` (same kernel, same anchor
+    matrices — asserted by the parity test); the trade is two extra
+    key-sorted exchanges for O(1) driver/worker memory at any record count.
+    Requires deduplicated pairs (exactly one row per unordered pair).
+    """
+    from ..functions.groupagg import group_starts, sorted_apply_exact
+    from .pairs import PAIR_SEP
+
+    scfg = cfg.scoring
+    side = build_side_rows(profiles)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ca = batch["conv_a"].to_pylist()
+        cb = batch["conv_b"].to_pylist()
+        bid = batch["block_id"].to_pylist()
+        pk = [f"{a}{PAIR_SEP}{b}" for a, b in zip(ca, cb)]
+        n = len(pk)
+        return pa.table(
+            {
+                "ckey": pa.array(ca + cb, pa.string()),
+                "kind": pa.array(["x"] * (2 * n), pa.string()),
+                "pair_key": pa.array(pk + pk, pa.string()),
+                "pos": pa.array(["a"] * n + ["b"] * n, pa.string()),
+                "block_id": pa.array(bid + bid, pa.string()),
+                "sig": pa.nulls(2 * n, pa.binary()),
+                "head": pa.nulls(2 * n, pa.string()),
+                "n_chars": pa.nulls(2 * n, pa.float64()),
+                "ah": pa.nulls(2 * n, pa.binary()),
+                "aw": pa.nulls(2 * n, pa.binary()),
+            }
+        )
+
+    halves = pairs.map_batches(explode, batch_format="pyarrow")
+
+    ATTACH_COLS = ["pair_key", "pos", "block_id", "sig", "head", "n_chars", "ah", "aw"]
+
+    def attach_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.reindex(columns=ATTACH_COLS)
+        profs = df.loc[df["kind"] == "p", ["ckey", "sig", "head", "n_chars", "ah", "aw"]]
+        hv = df.loc[df["kind"] == "x", ["ckey", "pair_key", "pos", "block_id"]]
+        merged = hv.merge(profs, on="ckey", how="left")
+        if merged["sig"].isna().any():
+            n_miss = int(merged["sig"].isna().sum())
+            raise ValueError(
+                f"score_pairs_scatter: {n_miss} pair conv_ids have no profile row"
+            )
+        return merged[ATTACH_COLS]
+
+    attached = sorted_apply_exact(side.union(halves), "ckey", attach_block)
+
+    def score_block(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return EDGE_SCHEMA.empty_table()
+        df = df.sort_values(["pair_key", "pos"], kind="stable")
+        pk = df["pair_key"].to_numpy()
+        sizes = np.diff(np.append(group_starts(pk), len(df)))
+        if not np.all(sizes == 2):
+            raise ValueError(
+                "score_pairs_scatter: pair group without exactly two halves "
+                "(pairs must be deduplicated)"
+            )
+        a = df.iloc[0::2]
+        b = df.iloc[1::2]
+        m = len(a)
+        sig_a = np.frombuffer(b"".join(a["sig"]), dtype=np.uint64).reshape(m, -1)
+        sig_b = np.frombuffer(b"".join(b["sig"]), dtype=np.uint64).reshape(m, -1)
+        ah_a = np.frombuffer(b"".join(a["ah"]), dtype=np.int64).reshape(m, MAX_SIDE_ANCHORS)
+        ah_b = np.frombuffer(b"".join(b["ah"]), dtype=np.int64).reshape(m, MAX_SIDE_ANCHORS)
+        aw_a = np.frombuffer(b"".join(a["aw"]), dtype=np.float64).reshape(m, MAX_SIDE_ANCHORS)
+        aw_b = np.frombuffer(b"".join(b["aw"]), dtype=np.float64).reshape(m, MAX_SIDE_ANCHORS)
+        feats = _feature_arrays(
+            sig_a, sig_b,
+            a["head"].to_numpy(), b["head"].to_numpy(),
+            a["n_chars"].to_numpy(dtype=np.float64),
+            b["n_chars"].to_numpy(dtype=np.float64),
+            ah_a, aw_a, ah_b, aw_b,
+        )
+        split = a["pair_key"].str.split(PAIR_SEP, n=1, expand=True)
+        return _edges_table(
+            pa.array(split[0].to_numpy(), pa.string()),
+            pa.array(split[1].to_numpy(), pa.string()),
+            pa.array(a["block_id"].to_numpy(), pa.string()),
+            feats,
+            scfg,
+        )
+
+    return sorted_apply_exact(attached, "pair_key", score_block)
+
+
+def score_pairs(pairs: rd.Dataset, profiles: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
+    """Gated scorer: at or below ``scoring.side_broadcast_gate`` profile rows
+    the whole side table broadcasts (one ``ray.put``, zero-copy numpy reads —
+    fastest at small/medium scale); above it the conv-keyed scatter/gather
+    runs so no driver materialization or whole-dataset broadcast ever happens
+    (the 10^12-turn path). Both produce byte-identical edges."""
+    if profiles.count() <= cfg.scoring.side_broadcast_gate:
+        return score_pairs_fused(pairs, build_side_state(profiles), cfg)
+    return score_pairs_scatter(pairs, profiles, cfg)
 
 
 def fit_weights(

@@ -1,0 +1,98 @@
+"""Scatter/gather scorer parity: byte-identical to the broadcast path.
+
+The scale path (``score_pairs_scatter`` — no driver materialization, no
+whole-dataset broadcast) must produce exactly the edges of the broadcast
+path (``score_pairs_fused``) — same kernel, same anchor matrices — and the
+``score_pairs`` gate must route by profile count.
+"""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from semanticizer_ray.config import EngineConfig, ScoringConfig
+
+
+@pytest.fixture(scope="module")
+def scored_inputs(ray_session, fixture_dir):
+    import ray.data as rd
+
+    from semanticizer_ray.stages.blocking import anchor_block_keys, lsh_block_keys
+    from semanticizer_ray.stages.normalize_turns import normalize_turns
+    from semanticizer_ray.stages.pairs import candidate_pairs
+    from semanticizer_ray.stages.signatures import conv_profiles
+    from semanticizer_ray.state.anchor_dict import build_anchor_dict
+
+    cfg = EngineConfig()
+    transcripts = rd.read_parquet(fixture_dir["transcripts"])
+    corpus = rd.read_parquet(fixture_dir["link_corpus"])
+    dict_table = pa.Table.from_pandas(build_anchor_dict(corpus, cfg).to_pandas())
+    profiles = conv_profiles(
+        normalize_turns(transcripts, cfg), cfg, dict_source=dict_table
+    ).materialize()
+    keys = lsh_block_keys(profiles, cfg).union(anchor_block_keys(profiles, cfg))
+    pairs = candidate_pairs(keys, cfg).materialize()
+    return cfg, profiles, pairs
+
+
+def _sorted_edges(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    return df.sort_values(["conv_a", "conv_b"]).reset_index(drop=True)
+
+
+def test_scatter_parity_byte_identical(scored_inputs):
+    from semanticizer_ray.stages.scoring import (
+        build_side_state,
+        score_pairs_fused,
+        score_pairs_scatter,
+    )
+
+    cfg, profiles, pairs = scored_inputs
+    bcast = _sorted_edges(score_pairs_fused(pairs, build_side_state(profiles), cfg))
+    scat = _sorted_edges(score_pairs_scatter(pairs, profiles, cfg))
+    assert len(bcast) > 50
+    pd.testing.assert_frame_equal(bcast, scat, check_exact=True)
+
+
+def test_gate_routes_by_profile_count(scored_inputs):
+    import semanticizer_ray.stages.scoring as S
+
+    cfg, profiles, pairs = scored_inputs
+    n = profiles.count()
+
+    called = {}
+    orig_fused, orig_scatter = S.score_pairs_fused, S.score_pairs_scatter
+    try:
+        S.score_pairs_fused = lambda *a, **k: called.setdefault("fused", True) or orig_fused(*a, **k)
+        S.score_pairs_scatter = lambda *a, **k: called.setdefault("scatter", True) or orig_scatter(*a, **k)
+
+        lo = EngineConfig(scoring=ScoringConfig(side_broadcast_gate=0))
+        S.score_pairs(pairs, profiles, lo)
+        assert called == {"scatter": True}
+
+        called.clear()
+        hi = EngineConfig(scoring=ScoringConfig(side_broadcast_gate=n))
+        S.score_pairs(pairs, profiles, hi)
+        assert called == {"fused": True}
+    finally:
+        S.score_pairs_fused, S.score_pairs_scatter = orig_fused, orig_scatter
+
+
+def test_scatter_raises_on_missing_profile(ray_session, scored_inputs):
+    import ray.data as rd
+
+    from semanticizer_ray.stages.scoring import score_pairs_scatter
+
+    cfg, profiles, _ = scored_inputs
+    ghost = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "conv_a": ["zz-not-a-conv-1"],
+                "conv_b": ["zz-not-a-conv-2"],
+                "block_id": ["b"],
+                "block_overflow": [0],
+            }
+        )
+    )
+    with pytest.raises(Exception, match="no profile row"):
+        score_pairs_scatter(ghost, profiles, cfg).materialize()
