@@ -93,12 +93,24 @@ def _split_apply(
     out_interior = sorted_ds.map_batches(
         interior, batch_format="pandas", batch_size=None
     )
-    rem = (
-        sorted_ds.map_batches(boundary_rows, batch_format="pandas", batch_size=None)
-        .repartition(1)
-        .sort(keys)
-        .map_batches(fn, batch_format="pandas", batch_size=None)
+    # Boundary remainder. Straddling-key count is known driver-side
+    # (len(edges), ≤ 2 per block): a handful of keys coalesce into ONE small
+    # task (repartition(1) — cheapest fixed cost); many straddling keys
+    # instead run one task PER KEY via groupby.map_groups so wide inputs
+    # don't funnel every boundary group through a single task. A single
+    # oversized KEY is one task either way — the caller bounds group size
+    # (salting; SURVEY.md §4 skew row).
+    rem_src = sorted_ds.map_batches(
+        boundary_rows, batch_format="pandas", batch_size=None
     )
+    if len(edges) > 64:
+        rem = rem_src.groupby(keys).map_groups(fn, batch_format="pandas")
+    else:
+        rem = (
+            rem_src.repartition(1)
+            .sort(keys)
+            .map_batches(fn, batch_format="pandas", batch_size=None)
+        )
     return out_interior.union(rem)
 
 
