@@ -36,7 +36,12 @@ import ray.data as rd
 
 from ..config import EngineConfig, ScoringConfig
 from ..functions.minhash import estimate_jaccard
-from ..functions.strings import batch_levenshtein_ratio, jaro_winkler, levenshtein_ratio
+from ..functions.strings import (
+    batch_jaro_winkler,
+    batch_levenshtein_ratio,
+    jaro_winkler,
+    levenshtein_ratio,
+)
 
 EDGE_SCHEMA = pa.schema(
     [
@@ -58,10 +63,12 @@ FEATURE_NAMES = ["jaccard_est", "jaro_winkler", "lev_ratio", "anchor_overlap", "
 # per-worker-process cache for the broadcast side table (pandas form)
 _SIDE_CACHE: dict = {}
 
-# Edit-metric caps: Jaro is O(n²) pure Python (~0.5 ms at 64 chars, ~30 ms
-# at 256), so it runs on a short prefix — the full-text signal comes from
-# the MinHash Jaccard estimate; Levenshtein's inner loop is numpy-vectorized
-# so it affords a longer window.
+# Edit-metric caps: both metrics are O(cap²) per pair (the batch kernels
+# amortize numpy overhead but not the DP work itself), and ~97% of LSH
+# candidate pairs fall in the cascade band at bench scale — the caps ARE
+# the scoring cost. 256 is deliberate: a 128-char window drops e2e
+# pairwise F1 from 1.00 to 0.84 on the planted-truth fixture (dup pairs
+# that diverge late in the head), so the 4× cheaper DP is not worth it.
 LEV_CAP = 256
 JW_CAP = 64
 
@@ -223,13 +230,10 @@ def _feature_arrays(
     lv = jac.copy()
     band = np.flatnonzero((jac > CASCADE_LO) & (jac < CASCADE_HI))
     if len(band):
-        ha = heads_a[band]
-        hb = heads_b[band]
-        for k, i in enumerate(band):
-            jw[i] = jaro_winkler(str(ha[k]), str(hb[k]), cap=JW_CAP)
-        lv[band] = batch_levenshtein_ratio(
-            np.asarray(ha, dtype=object), np.asarray(hb, dtype=object), cap=LEV_CAP
-        )
+        ha = np.asarray(heads_a[band], dtype=object)
+        hb = np.asarray(heads_b[band], dtype=object)
+        jw[band] = batch_jaro_winkler(ha, hb, cap=JW_CAP)
+        lv[band] = batch_levenshtein_ratio(ha, hb, cap=LEV_CAP)
     return jac, jw, lv, ao, lr
 
 
@@ -351,7 +355,10 @@ def score_pairs_fused(pairs: rd.Dataset, side_state, cfg: EngineConfig) -> rd.Da
             batch["conv_a"], batch["conv_b"], batch["block_id"], feats, scfg
         )
 
-    return pairs.map_batches(score, batch_format="pyarrow", batch_size=8192)
+    # 4096-row batches: kernels amortize fully by ~2k rows, and ~2× more
+    # tasks keeps all cores busy through the final wave (8192 left a third
+    # of a 32-core node idle during the last task wave at bench scale)
+    return pairs.map_batches(score, batch_format="pyarrow", batch_size=4096)
 
 
 def build_side_rows(profiles: rd.Dataset) -> rd.Dataset:

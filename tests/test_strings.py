@@ -78,6 +78,33 @@ def test_batch_levenshtein_matches_scalar(pairs):
         assert got[i] == pytest.approx(levenshtein_ratio(a, b, cap=32)), (a, b)
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.tuples(st.text(max_size=40), st.text(max_size=40)), max_size=20)
+)
+def test_batch_jaro_winkler_matches_scalar(pairs):
+    from semanticizer_ray.functions.strings import batch_jaro_winkler
+
+    left = np.array([p[0] for p in pairs], dtype=object)
+    right = np.array([p[1] for p in pairs], dtype=object)
+    got = batch_jaro_winkler(left, right, cap=32)
+    for i, (a, b) in enumerate(pairs):
+        assert got[i] == pytest.approx(jaro_winkler(a, b, cap=32), abs=1e-12), (a, b)
+
+
+def test_batch_jaro_winkler_textbook():
+    from semanticizer_ray.functions.strings import batch_jaro_winkler
+
+    left = np.array(["MARTHA", "DIXON", "abc", "", None], dtype=object)
+    right = np.array(["MARHTA", "DICKSONX", "xyz", "", "x"], dtype=object)
+    got = batch_jaro_winkler(left, right)
+    assert got[0] == pytest.approx(0.9611, abs=1e-4)
+    assert got[1] == pytest.approx(0.8133, abs=1e-3)
+    assert got[2] == 0.0
+    assert got[3] == 1.0
+    assert got[4] == 0.0
+
+
 def test_batch_pair_scores():
     left = np.array(["kitten", "abc", None], dtype=object)
     right = np.array(["sitting", "abc", "x"], dtype=object)
