@@ -57,12 +57,15 @@ def _split_apply(
     sorted_ds: rd.Dataset,
     keys: list[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
+    edges: pd.DataFrame | None = None,
 ) -> rd.Dataset:
     """Apply ``fn`` to complete key groups: interior per block + boundary
-    remainder in one coalesced partition."""
+    remainder in one coalesced partition. ``edges``: pass the block-edge
+    frame if the caller already collected it (one less pass)."""
     import ray
 
-    edges = _boundary_keys(sorted_ds, keys)
+    if edges is None:
+        edges = _boundary_keys(sorted_ds, keys)
     if len(edges) == 0:
         return sorted_ds.map_batches(fn, batch_format="pandas", batch_size=None)
     b_ref = ray.put(set(map(tuple, edges.to_numpy())))
@@ -153,6 +156,7 @@ def sorted_apply_exact(
     key: str | list[str],
     apply_block: Callable[[pd.DataFrame], pd.DataFrame],
     assume_sorted: bool = False,
+    precomputed_edges: pd.DataFrame | None = None,
 ) -> rd.Dataset:
     """Per-group apply with EXACT group boundaries, vectorized per block.
 
@@ -162,7 +166,7 @@ def sorted_apply_exact(
     keys = _keys_list(key)
     sorted_ds = ds if assume_sorted else ds.sort(keys)
     sorted_ds = sorted_ds.materialize()
-    return _split_apply(sorted_ds, keys, apply_block)
+    return _split_apply(sorted_ds, keys, apply_block, edges=precomputed_edges)
 
 
 def group_starts(*key_arrays: np.ndarray) -> np.ndarray:

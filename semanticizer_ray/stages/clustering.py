@@ -135,8 +135,12 @@ def cluster_edges(
     # edge sets — "provably" = this count).
     if edges.count() <= cfg.cluster.driver_edge_threshold:
         edge_df = edges.to_pandas()
-        comp = unionfind_reference(
-            list(zip(edge_df["conv_a"], edge_df["conv_b"]))
+        # empty datasets lose their schema through to_pandas() (column-less
+        # frame) — an empty edge set simply means every node is a singleton
+        comp = (
+            {}
+            if edge_df.empty
+            else unionfind_reference(list(zip(edge_df["conv_a"], edge_df["conv_b"])))
         )
         if all_nodes is not None:
             nodes_ds = all_nodes.select_columns(["conv_id"])

@@ -1,20 +1,31 @@
 """Stage T7: blocking keys → deduplicated candidate pairs.
 
 This is the pipeline's big all-to-all shuffle (SURVEY.md T7 / §4 skew row),
-with explicit hot-key handling per north_rule:
+with explicit hot-key handling per north_rule. ONE range-partitioned sort
+of the (block_key, conv_id) rows serves both the hot-key census and pair
+generation (the old path paid a census sort, a salt-explode pass with s×
+row replication, and a second sort — three distributed exchanges where one
+suffices):
 
-1. census: vectorized distributed count per key (``grouped_count``) →
-   keys over ``max_block_size`` collected to the driver (bounded: ≤ one
-   short row per distinct hot key) and broadcast;
-2. salt explode: a hot key with n members gets s = ceil(n / max_block_size)
-   salts (capped at MAX_SALT). Member x lands in salt i = hash(conv)%s and
-   is replicated into the s groups {key#(min(i,j),max(i,j))}: every pair of
-   members still meets in EXACTLY one salted group (triangle replication —
-   exact pair coverage, s× row replication of tiny rows);
-3. per-block pair generation via ``sorted_apply_exact`` (complete groups,
-   one vectorized pass per block — no per-group pandas), capped at
-   ``max_pairs_per_block`` with the overflow COUNTED on emitted rows
-   (``block_overflow`` — no silent truncation);
+1. sort by block_key → every key group is contiguous; block-edge keys
+   (≤ 2 per block, collected driver-side) are the only groups that can
+   straddle blocks;
+2. census from the SAME sorted pass: per-block partial counts, emitting
+   only keys over the smallest cap or on a block edge (tiny frame); the
+   driver sums partials — exact because interior keys live in one block
+   and edge keys are emitted by every block that holds them;
+3. per-block pair generation over complete groups (``_split_apply`` with
+   the already-collected edges). A hot key with n members is "salted"
+   LOCALLY: members bucket by hash(conv) % s, s = ceil(n / max_block_size)
+   capped at MAX_SALT, and pairs are emitted per bucket pair (lo, hi) with
+   ``max_pairs_per_block`` applied PER SALTED SUB-BLOCK and the overflow
+   COUNTED on emitted rows (``block_overflow`` — no silent truncation).
+   This yields the exact triangle-replication pair set of the old explode
+   path (identical block_id labels, identical coverage) without replicating
+   any rows through a shuffle. The trade, documented: all pairs of one hot
+   key are generated in the task that owns its group (the boundary
+   remainder for straddlers), bounded by MAX_SALT²/2 · max_pairs_per_block
+   pairs — at most ~128k rows per degenerate key at the defaults;
 4. global pair dedup: one ``sorted_grouped_agg`` on the combined pair key
    (a pair found by many bands is scored once; lineage keeps min block_id).
 
@@ -34,7 +45,13 @@ import ray
 import ray.data as rd
 
 from ..config import EngineConfig
-from ..functions.groupagg import group_starts, grouped_count, sorted_apply_exact, sorted_grouped_agg
+from ..functions.groupagg import (
+    _boundary_keys,
+    _split_apply,
+    group_starts,
+    grouped_count,
+    sorted_grouped_agg,
+)
 
 MAX_SALT = 8
 
@@ -71,8 +88,10 @@ def _stable_hash(s: str) -> int:
 def block_census(
     block_rows: rd.Dataset, cfg: EngineConfig, include_anchor_cap: bool = False
 ) -> dict[str, int]:
-    """Hot blocking keys → member count. Small driver-side dict (only keys
-    above the smallest relevant cap)."""
+    """Hot blocking keys → member count, as a standalone distributed count
+    (kept for callers that have UNSORTED key rows; the pipeline itself uses
+    the fused census inside ``candidate_pairs``). Small driver-side dict
+    (only keys above the smallest relevant cap)."""
     cap = cfg.blocking.max_block_size
     if include_anchor_cap:
         cap = min(cap, cfg.blocking.anchor_max_block_size)
@@ -85,18 +104,10 @@ def block_census(
     return dict(zip(hot["block_key"], hot["n"].astype(int)))
 
 
-def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
-    """(block_key, conv_id) rows → deduplicated (conv_a, conv_b) pairs.
-
-    One census covers both key families: LSH keys over the cap are SALTED
-    (exact pair coverage must be preserved — a hot band is still a real
-    near-dup signal); anchor "A:" keys over ``anchor_max_block_size`` are
-    DROPPED with a log line (a non-discriminative anchor is noise — see
-    BlockingConfig)."""
+def _hot_plan(hot: dict[str, int], cfg: EngineConfig) -> dict[str, int]:
+    """Hot-key census → action per key: 0 = drop (non-discriminative
+    anchor), s ≥ 2 = salt into s hash buckets."""
     bcfg = cfg.blocking
-    # keys are consumed twice (census + explode): pin them once
-    block_rows = block_rows.materialize()
-    hot = block_census(block_rows, cfg, include_anchor_cap=True)
     anchor_cap = bcfg.anchor_max_block_size
     dropped = [k for k, n in hot.items() if k.startswith("A:") and n > anchor_cap]
     if dropped:
@@ -105,7 +116,7 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
             f"[blocking] dropping {len(dropped)} anchor keys above cap "
             f"{anchor_cap} (max block {worst})"
         )
-    plan = {}
+    plan: dict[str, int] = {}
     for k, n in hot.items():
         if k.startswith("A:"):
             if n > anchor_cap:
@@ -114,56 +125,97 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
                 plan[k] = min(MAX_SALT, -(-n // bcfg.max_block_size))
         elif n > bcfg.max_block_size:
             plan[k] = min(MAX_SALT, -(-n // bcfg.max_block_size))
-    hot_ref = ray.put(plan)
+    return plan
 
-    def salt_explode(batch: pa.Table) -> pa.Table:
-        """Cold rows pass through as a zero-copy Arrow filter; only rows of
-        hot keys (a tiny fraction by construction) take the Python loop."""
-        import pyarrow.compute as pc
 
-        hot_map: dict[str, int] = ray.get(hot_ref)
-        if not hot_map:
-            return batch
-        hot_keys = pa.array(list(hot_map), pa.string())
-        is_hot = pc.is_in(batch["block_key"], value_set=hot_keys)
-        cold = batch.filter(pc.invert(is_hot))
-        hot_rows = batch.filter(is_hot)
-        if hot_rows.num_rows == 0:
-            return cold
-        keys = hot_rows["block_key"].to_pylist()
-        convs = hot_rows["conv_id"].to_pylist()
-        out_key, out_conv = [], []
-        for key, conv in zip(keys, convs):
-            s = hot_map[key]
-            if s == 1:
-                out_key.append(key)
-                out_conv.append(conv)
-            elif s == 0:
-                continue  # dropped non-discriminative anchor key
+def _salted_group_pairs(
+    key: str, members: list[str], s: int, max_pairs: int
+) -> tuple[list[str], list[str], list[int]]:
+    """All-pairs of one hot key, partitioned into the s(s+1)/2 salted
+    sub-blocks of the triangle-replication scheme — identical pair set,
+    block_id labels, and per-sub-block overflow accounting as the old
+    explode-then-shuffle path, computed locally from the complete group."""
+    out_pk: list[str] = []
+    out_block: list[str] = []
+    out_over: list[int] = []
+    buckets: list[list[str]] = [[] for _ in range(s)]
+    for m in members:
+        buckets[_stable_hash(m) % s].append(m)
+    for lo in range(s):
+        for hi in range(lo, s):
+            if lo == hi:
+                mem = buckets[lo]
+                pairs = [
+                    (a, b) for ai, a in enumerate(mem) for b in mem[ai + 1 :]
+                ]
             else:
-                i = _stable_hash(conv) % s
-                for j in range(s):
-                    lo, hi = min(i, j), max(i, j)
-                    out_key.append(f"{key}{SALT_SEP}{s}:{lo}-{hi}")
-                    out_conv.append(conv)
-        exploded = pa.table(
-            {
-                "block_key": pa.array(out_key, pa.string()),
-                "conv_id": pa.array(out_conv, pa.string()),
-            }
-        ).select(cold.column_names)  # align column order for concat
-        return pa.concat_tables([cold, exploded])
+                pairs = [
+                    (min(a, b), max(a, b))
+                    for a in buckets[lo]
+                    for b in buckets[hi]
+                ]
+            if not pairs:
+                continue
+            overflow = max(0, len(pairs) - max_pairs)
+            if overflow:
+                pairs = pairs[:max_pairs]
+            label = f"{key}{SALT_SEP}{s}:{lo}-{hi}"
+            out_pk.extend(f"{a}{PAIR_SEP}{b}" for a, b in pairs)
+            out_block.extend([label] * len(pairs))
+            out_over.extend([overflow] * len(pairs))
+    return out_pk, out_block, out_over
 
-    salted = block_rows.map_batches(salt_explode, batch_format="pyarrow")
+
+def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
+    """(block_key, conv_id) rows → deduplicated (conv_a, conv_b) pairs.
+
+    One sorted exchange covers census + generation for both key families:
+    LSH keys over the cap are SALTED (exact pair coverage must be
+    preserved — a hot band is still a real near-dup signal); anchor "A:"
+    keys over ``anchor_max_block_size`` are DROPPED with a log line (a
+    non-discriminative anchor is noise — see BlockingConfig)."""
+    bcfg = cfg.blocking
+    min_cap = min(bcfg.max_block_size, bcfg.anchor_max_block_size)
+
+    sorted_ds = block_rows.sort("block_key").materialize()
+    edges = _boundary_keys(sorted_ds, ["block_key"])
+    edge_keys = (
+        set(edges["block_key"]) if len(edges) else set()
+    )
+    edge_ref = ray.put(edge_keys)
+
+    def census_block(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-block partial counts — only keys that might be hot (over the
+        smallest cap) or that straddle (on a block edge) leave the task."""
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"block_key": pd.Series(dtype="str"), "n": pd.Series(dtype="int64")}
+            )
+        ek = ray.get(edge_ref)
+        counts = df.groupby("block_key", sort=False).size()
+        sel = counts[(counts > min_cap) | counts.index.isin(ek)]
+        return sel.rename("n").reset_index()
+
+    partials = sorted_ds.map_batches(
+        census_block, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    if partials.empty or "block_key" not in partials.columns:
+        hot: dict[str, int] = {}
+    else:
+        sums = partials.groupby("block_key")["n"].sum()
+        hot = {k: int(n) for k, n in sums.items() if n > min_cap}
+    plan = _hot_plan(hot, cfg)
+    plan_ref = ray.put(plan)
 
     max_pairs = bcfg.max_pairs_per_block
 
     def gen_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
         """All complete key groups of one block → pair rows (vectorized
-        group iteration via boundary indices; the inner all-pairs loop is
-        bounded by the salt cap). Size-1 groups (the vast majority of LSH
-        bands) are skipped wholesale; size-2 unsalted groups emit their
-        single pair vectorized — only size≥3 or salted groups loop."""
+        group iteration via boundary indices). Size-1 groups (the vast
+        majority of LSH bands) are skipped wholesale; size-2 plain groups
+        emit their single pair vectorized — only size≥3 or planned (hot)
+        groups loop."""
+        hot_map: dict[str, int] = ray.get(plan_ref)
         out_pk: list[str] = []
         out_block: list[str] = []
         out_over: list[int] = []
@@ -174,7 +226,7 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
             starts = group_starts(keys)
             bounds = np.append(starts, len(df))
             sizes = np.diff(bounds)
-            # fast path: exactly-2-member unsalted groups → one pair each
+            # fast path: exactly-2-member unplanned groups → one pair each
             two = np.flatnonzero(sizes == 2)
             slow_from_two: list[int] = []
             if len(two):
@@ -182,37 +234,34 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
                 k2 = keys[lo2]
                 a2 = convs[lo2]
                 b2 = convs[lo2 + 1]
-                plain = np.array([SALT_SEP not in k for k in k2], dtype=bool)
+                if hot_map:
+                    plain = np.array([k not in hot_map for k in k2], dtype=bool)
+                else:
+                    plain = np.ones(len(two), dtype=bool)
                 keep2 = plain & (a2 != b2)
                 out_pk.extend(
                     f"{a}{PAIR_SEP}{b}" for a, b in zip(a2[keep2], b2[keep2])
                 )
                 out_block.extend(k2[keep2])
                 out_over.extend([0] * int(keep2.sum()))
-                slow_from_two = list(two[~plain])  # salted size-2 → loop
+                slow_from_two = list(two[~plain])  # planned size-2 → loop
             slow = list(np.flatnonzero(sizes > 2)) + slow_from_two
             for gi in slow:
                 lo_i, hi_i = bounds[gi], bounds[gi + 1]
                 key = keys[lo_i]
                 members = sorted(set(convs[lo_i:hi_i]))
-                if SALT_SEP in key:
-                    _, salt_part = key.rsplit(SALT_SEP, 1)
-                    s_str, rng = salt_part.split(":", 1)
-                    s = int(s_str)
-                    lo, hi = (int(x) for x in rng.split("-"))
-                    if lo == hi:
-                        mem = [m for m in members if _stable_hash(m) % s == lo]
-                        pairs = [
-                            (a, b) for ai, a in enumerate(mem) for b in mem[ai + 1 :]
-                        ]
-                    else:
-                        left = [m for m in members if _stable_hash(m) % s == lo]
-                        right = [m for m in members if _stable_hash(m) % s == hi]
-                        pairs = [(min(a, b), max(a, b)) for a in left for b in right]
-                else:
-                    pairs = [
-                        (a, b) for ai, a in enumerate(members) for b in members[ai + 1 :]
-                    ]
+                s = hot_map.get(key, 1)
+                if s == 0:
+                    continue  # dropped non-discriminative anchor key
+                if s >= 2:
+                    pk, blk, over = _salted_group_pairs(key, members, s, max_pairs)
+                    out_pk.extend(pk)
+                    out_block.extend(blk)
+                    out_over.extend(over)
+                    continue
+                pairs = [
+                    (a, b) for ai, a in enumerate(members) for b in members[ai + 1 :]
+                ]
                 overflow = max(0, len(pairs) - max_pairs)
                 if overflow:
                     pairs = pairs[:max_pairs]
@@ -227,7 +276,7 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
             }
         )
 
-    all_pairs = sorted_apply_exact(salted, "block_key", gen_pairs_block)
+    all_pairs = _split_apply(sorted_ds, ["block_key"], gen_pairs_block, edges=edges)
 
     def dedup_combine(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:

@@ -35,6 +35,27 @@ def er_run(ray_session, fixture_dir):
     return cfg, result
 
 
+def test_empty_transcripts(ray_session):
+    """A schema'd but 0-row transcripts table flows through every stage
+    (empty datasets lose their schema through to_pandas() — regression)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "speaker": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+                "ts": pa.array([], pa.int64()),
+            }
+        )
+    )
+    res = resolve_entities(empty, EngineConfig(), anchor_dict_source=None)
+    assert res.clusters.count() == 0
+
+
 def _score_row(row, cfg: EngineConfig) -> float:
     from semanticizer_ray.stages.scoring import compute_pair_features
 
