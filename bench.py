@@ -104,6 +104,10 @@ def run_scaling() -> dict:
             text=True,
             check=True,
         ).stdout
+        # let the exited Ray session's raylet/worker teardown finish before
+        # the next measurement — back-to-back sessions were measured to
+        # inflate the following run by up to 30%
+        time.sleep(10)
         return json.loads(out.strip().splitlines()[-1])
 
     warm = one(8)  # also warms the page cache / fixture generation

@@ -76,36 +76,6 @@ JW_CAP = 64
 SIDE_COLS = ["sig", "text_head", "n_chars", "anchor_labels", "anchor_weights"]
 
 
-def build_side_table(profiles: rd.Dataset, num_partitions: int = 16) -> pa.Table:
-    """Profile rows (which carry the anchor summary columns) → small
-    per-conv side table (materialized pa.Table, one short row per conv).
-
-    ``text_head`` is truncated to the scoring caps (the edit metrics never
-    read past LEV_CAP chars) so the broadcast payload stays ~sig-sized."""
-    import pandas as _pd
-
-    def shrink(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
-        head = _pc.utf8_slice_codeunits(batch["text_head"], 0, max(LEV_CAP, JW_CAP))
-        return batch.set_column(
-            batch.column_names.index("text_head"), "text_head", head
-        )
-
-    pdf = (
-        profiles.select_columns(["conv_id"] + SIDE_COLS)
-        .map_batches(shrink, batch_format="pyarrow")
-        .to_pandas()
-    )
-    if pdf.empty:  # empty datasets lose their schema through to_pandas
-        pdf = _pd.DataFrame({c: [] for c in ["conv_id"] + SIDE_COLS})
-    for col in ("anchor_labels", "anchor_weights"):
-        pdf[col] = pdf[col].apply(
-            lambda v: list(v) if isinstance(v, (list, np.ndarray)) else []
-        )
-    return pa.Table.from_pandas(pdf[["conv_id"] + SIDE_COLS], preserve_index=False)
-
-
 def _anchor_overlap(la, wa, lb, wb) -> float:
     if la is None or lb is None or len(la) == 0 or len(lb) == 0:
         return 0.0
@@ -169,7 +139,13 @@ def compute_pair_features(
 MAX_SIDE_ANCHORS = 16
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 17)
 def _label_hash64(s: str) -> int:
+    # anchor labels repeat heavily across conversations (a vocabulary, not
+    # free text) — memoizing saves ~1 md5 per label occurrence
     import hashlib as _hl
 
     return int.from_bytes(_hl.md5(s.encode()).digest()[:8], "little", signed=True) or 1
@@ -276,28 +252,38 @@ def build_side_state(profiles: rd.Dataset):
      chars f8[n], anchor_hash int64[n,M], anchor_w f8[n,M])
 
     Row lookup is a vectorized ``np.searchsorted``; anchor overlap works on
-    fixed-width label-hash matrices."""
+    fixed-width label-hash matrices. The per-row packing (head truncation,
+    anchor-matrix hashing) runs DISTRIBUTED via ``build_side_rows`` — the
+    same pack the scatter path uses, so the two paths stay byte-identical —
+    and the driver only concatenates fixed-width buffers (was ~4 s of
+    serial pandas/md5 work per run at the 50k tier)."""
     import ray
 
-    table = build_side_table(profiles)
-    convs = np.asarray(table["conv_id"].to_pylist(), dtype="S")
+    pdf = build_side_rows(profiles).to_pandas()
+    if pdf.empty or "ckey" not in pdf.columns:
+        return ray.put(
+            (
+                np.empty(0, dtype="S1"),
+                np.empty((0, 0), dtype=np.uint64),
+                np.empty(0, dtype="U1"),
+                np.empty(0),
+                np.empty((0, MAX_SIDE_ANCHORS), dtype=np.int64),
+                np.empty((0, MAX_SIDE_ANCHORS), dtype=np.float64),
+            )
+        )
+    convs = np.asarray(pdf["ckey"].to_numpy(), dtype="S")
     order = np.argsort(convs)
     convs = convs[order]
     n = len(convs)
-    sigs = table["sig"].to_pylist()
-    sig_mat = (
-        np.frombuffer(b"".join(sigs), dtype=np.uint64).reshape(n, -1)[order]
-        if n
-        else np.empty((0, 0), dtype=np.uint64)
-    )
-    heads_raw = table["text_head"].to_pylist()
-    heads = np.asarray(heads_raw, dtype="U")[order] if n else np.empty(0, dtype="U1")
-    chars = np.asarray(table["n_chars"].to_pylist(), dtype=np.float64)[order] if n else np.empty(0)
-    labels = table["anchor_labels"].to_pylist()
-    weights = table["anchor_weights"].to_pylist()
-    a_hash, a_w = _anchor_matrices(
-        [labels[o] for o in order], [weights[o] for o in order]
-    )
+    sig_mat = np.frombuffer(b"".join(pdf["sig"]), dtype=np.uint64).reshape(n, -1)[order]
+    heads = np.asarray(pdf["head"].to_numpy(), dtype="U")[order]
+    chars = pdf["n_chars"].to_numpy(dtype=np.float64)[order]
+    a_hash = np.frombuffer(b"".join(pdf["ah"]), dtype=np.int64).reshape(
+        n, MAX_SIDE_ANCHORS
+    )[order]
+    a_w = np.frombuffer(b"".join(pdf["aw"]), dtype=np.float64).reshape(
+        n, MAX_SIDE_ANCHORS
+    )[order]
     return ray.put((convs, sig_mat, heads, chars, a_hash, a_w))
 
 
