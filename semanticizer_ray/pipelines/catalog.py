@@ -690,8 +690,13 @@ SELECT DISTINCT l_partkey, l_suppkey FROM lineitem ORDER BY l_partkey, l_suppkey
 def _er_fixture_dir(sf_dir: str) -> str:
     sf = os.path.basename(os.path.normpath(sf_dir))
     # bench tier is sized so per-record compute dominates Ray's fixed
-    # per-execution coordination cost (scaling-efficiency criterion)
-    n = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 50000}.get(sf, 200)
+    # per-execution coordination cost (scaling-efficiency criterion);
+    # GRAFT_FIXTURE_NCONVS overrides for the 100k-tier scaling measurement
+    n = int(os.environ.get("GRAFT_FIXTURE_NCONVS", "0")) or {
+        "sf0.001": 200,
+        "sf0.01": 1000,
+        "sf0.1": 50000,
+    }.get(sf, 200)
     out = f"/tmp/semanticizer_ray_fixtures/{sf}_n{n}"
     marker = os.path.join(out, "transcripts.parquet")
     if not os.path.exists(marker):
