@@ -87,6 +87,9 @@ class ScoringConfig:
             "jaro_winkler": 1.0,
             "lev_ratio": 1.0,
             "anchor_overlap": 0.5,
+            # F3 context feature (sense co-occurrence relatedness); with no
+            # relatedness artifact it degrades to a weighted label overlap
+            "ctx_relatedness": 0.5,
             "len_ratio": 0.25,
         }
     )

@@ -730,6 +730,27 @@ def _anchor_dict_table(fx: str, cfg: EngineConfig) -> pa.Table | None:
     return table
 
 
+def _relatedness_state(fx: str, cfg: EngineConfig, dict_table):
+    """F3 sense co-occurrence artifact for a fixture dir — built ONCE from
+    the link corpus and cached as Parquet beside the anchor dictionary
+    (same offline-artifact pattern, SURVEY.md F3/A1)."""
+    corp = os.path.join(fx, "link_corpus.parquet")
+    if dict_table is None or not os.path.exists(corp):
+        return None
+    import pyarrow.parquet as pq
+
+    from ..state.relatedness import RelatednessState, build_relatedness
+
+    cache = os.path.join(fx, f"relatedness_{cfg.config_hash()}.parquet")
+    if os.path.exists(cache):
+        return RelatednessState.from_tables(dict_table, pq.read_table(cache))
+    rel = build_relatedness(rd.read_parquet(corp), cfg)
+    tmp = cache + ".tmp"
+    pq.write_table(pa.Table.from_pandas(rel, preserve_index=False), tmp)
+    os.replace(tmp, cache)
+    return RelatednessState.from_tables(dict_table, rel)
+
+
 def er_clusters(sf_dir: str) -> pd.DataFrame:
     """Flagship: full three-stage entity resolution on synthetic transcripts
     sized to the sf tier (rows-only check: non-SQL-expressible)."""
@@ -738,8 +759,11 @@ def er_clusters(sf_dir: str) -> pd.DataFrame:
     fx = _er_fixture_dir(sf_dir)
     cfg = EngineConfig()
     dict_table = _anchor_dict_table(fx, cfg)
+    rel_state = _relatedness_state(fx, cfg, dict_table)
     transcripts = rd.read_parquet(os.path.join(fx, "transcripts.parquet"))
-    res = resolve_entities(transcripts, cfg, anchor_dict_source=dict_table)
+    res = resolve_entities(
+        transcripts, cfg, anchor_dict_source=dict_table, relatedness=rel_state
+    )
     return res.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
 
 
@@ -754,9 +778,12 @@ def er_clusters_scatter(sf_dir: str) -> pd.DataFrame:
     fx = _er_fixture_dir(sf_dir)
     base = EngineConfig()
     dict_table = _anchor_dict_table(fx, base)  # dict build is config-independent here
+    rel_state = _relatedness_state(fx, base, dict_table)
     cfg = EngineConfig(scoring=ScoringConfig(side_broadcast_gate=0))
     transcripts = rd.read_parquet(os.path.join(fx, "transcripts.parquet"))
-    res = resolve_entities(transcripts, cfg, anchor_dict_source=dict_table)
+    res = resolve_entities(
+        transcripts, cfg, anchor_dict_source=dict_table, relatedness=rel_state
+    )
     return res.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
 
 

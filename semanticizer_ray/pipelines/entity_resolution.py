@@ -44,10 +44,13 @@ def resolve_entities(
     cfg: EngineConfig,
     anchor_dict_source: Any = None,
     num_partitions: int = 16,
+    relatedness: Any = None,
 ) -> ERResult:
     """Run the full three-stage flow. ``anchor_dict_source``: pa.Table /
     ObjectRef / parquet path for the anchor dictionary; None disables the
-    anchor-feature path (LSH-only blocking, no anchor-overlap feature)."""
+    anchor-feature path (LSH-only blocking, no anchor-overlap feature).
+    ``relatedness``: optional ``RelatednessState`` (state/relatedness.py)
+    for the F3 context feature."""
     normalized = normalize_turns(transcripts, cfg)
     profiles = conv_profiles(normalized, cfg, dict_source=anchor_dict_source).materialize()
 
@@ -57,7 +60,7 @@ def resolve_entities(
 
     pairs = candidate_pairs(keys, cfg)
 
-    edges = score_pairs(pairs, profiles, cfg).materialize()
+    edges = score_pairs(pairs, profiles, cfg, relatedness=relatedness).materialize()
     clusters = cluster_edges(
         edges, profiles.select_columns(["conv_id"]), cfg, num_partitions
     )
@@ -75,6 +78,7 @@ def resolve_entities_checkpointed(
     checkpoint_dir: str,
     anchor_dict_path: str | None = None,
     num_partitions: int = 16,
+    relatedness_path: str | None = None,
 ) -> "rd.Dataset":
     """Checkpointed flagship run (T10): each stage lands as per-partition
     Parquet + manifest under ``checkpoint_dir``; a rerun (same config, same
@@ -101,6 +105,17 @@ def resolve_entities_checkpointed(
         dict_table = pq.read_table(anchor_dict_path)
         in_fp = in_fp + "+" + fingerprint_paths([anchor_dict_path])
 
+    rel_state = None
+    if relatedness_path is not None:
+        import pyarrow.parquet as pq
+
+        from ..state.relatedness import RelatednessState
+
+        rel_state = RelatednessState.from_tables(
+            dict_table, pq.read_table(relatedness_path)
+        )
+        in_fp = in_fp + "+" + fingerprint_paths([relatedness_path])
+
     def transcripts() -> rd.Dataset:
         return rd.read_parquet(transcripts_path)
 
@@ -121,7 +136,7 @@ def resolve_entities_checkpointed(
     pairs = ck.stage("pairs", prof.fingerprint, make_pairs)
 
     def make_edges() -> rd.Dataset:
-        return score_pairs(pairs.dataset, prof.dataset, cfg)
+        return score_pairs(pairs.dataset, prof.dataset, cfg, relatedness=rel_state)
 
     edges = ck.stage(
         "edges", f"{pairs.fingerprint}+{prof.fingerprint}", make_edges

@@ -8,6 +8,13 @@ Feature set (north_rule stage 2; reference analogs in SURVEY.md F1–F3/F5):
 - ``anchor_overlap`` commonness-weighted overlap of the two conversations'
                      top anchors (the reference's anchor/concept features
                      recast as a pair feature): Σ_shared w / Σ_union w
+- ``ctx_relatedness`` F3 context feature (SURVEY.md F3; the reference's
+                     ContextFeaturesProcessor per OAIR'13): anchor-weighted
+                     mean Milne–Witten relatedness between the two
+                     conversations' top anchor SENSES over the offline
+                     co-occurrence artifact (``state/relatedness.py``).
+                     Same-label/same-sense pairs count 1.0, so with no
+                     artifact the feature degrades to a weighted overlap
 - ``len_ratio``      min/max of total char counts
 
 ``score = Σ w_f · f + bias``; ``is_match = score ≥ threshold`` — the linear
@@ -52,16 +59,41 @@ EDGE_SCHEMA = pa.schema(
         ("jaro_winkler", pa.float64()),
         ("lev_ratio", pa.float64()),
         ("anchor_overlap", pa.float64()),
+        ("ctx_relatedness", pa.float64()),
         ("len_ratio", pa.float64()),
         ("score", pa.float64()),
         ("is_match", pa.bool_()),
     ]
 )
 
-FEATURE_NAMES = ["jaccard_est", "jaro_winkler", "lev_ratio", "anchor_overlap", "len_ratio"]
+FEATURE_NAMES = [
+    "jaccard_est",
+    "jaro_winkler",
+    "lev_ratio",
+    "anchor_overlap",
+    "ctx_relatedness",
+    "len_ratio",
+]
 
 # per-worker-process cache for the broadcast side table (pandas form)
 _SIDE_CACHE: dict = {}
+# per-worker-process cache for the (small) relatedness pack
+_REL_CACHE: dict = {}
+
+
+def _get_rel_pack(rel_ref):
+    """Worker-side fetch-and-cache of the packed RelatednessState."""
+    if rel_ref is None:
+        return None
+    import ray
+
+    key = ("rel", rel_ref.hex())
+    pack = _REL_CACHE.get(key)
+    if pack is None:
+        pack = ray.get(rel_ref)
+        _REL_CACHE.clear()
+        _REL_CACHE[key] = pack
+    return pack
 
 # Edit-metric caps: both metrics are O(cap²) per pair (the batch kernels
 # amortize numpy overhead but not the DP work itself), and ~97% of LSH
@@ -102,6 +134,32 @@ CASCADE_LO = 0.08
 CASCADE_HI = 0.90
 
 
+def _ctx_relatedness_scalar(la, wa, lb, wb, relatedness) -> float:
+    """Scalar twin of the vectorized ctx kernel in ``_feature_arrays``:
+    anchor-weighted mean relatedness over the cross product of the two
+    top-anchor lists. Equal labels count 1.0; otherwise the Milne–Witten
+    relatedness of the labels' majority senses (0.0 with no artifact)."""
+    if la is None or lb is None or len(la) == 0 or len(lb) == 0:
+        return 0.0
+    sa = sb = None
+    if relatedness is not None:
+        sa = [relatedness.sense_of_hash(_label_hash64(x)) for x in la]
+        sb = [relatedness.sense_of_hash(_label_hash64(y)) for y in lb]
+    num = 0.0
+    den = 0.0
+    for i, (x, wx) in enumerate(zip(la, wa)):
+        for j, (y, wy) in enumerate(zip(lb, wb)):
+            w = wx * wy
+            if w <= 0:
+                continue
+            den += w
+            if x == y:
+                num += w
+            elif relatedness is not None:
+                num += w * relatedness.rel_of(sa[i], sb[j])
+    return num / den if den > 0 else 0.0
+
+
 def compute_pair_features(
     sig_a: bytes,
     sig_b: bytes,
@@ -113,9 +171,12 @@ def compute_pair_features(
     anchor_weights_a,
     anchor_labels_b,
     anchor_weights_b,
+    relatedness=None,
 ) -> dict[str, float]:
     """Per-pair feature vector — the single definition shared by the
-    pipeline (vectorized over batches) and the driver-side test oracles."""
+    pipeline (vectorized over batches) and the driver-side test oracles.
+    ``relatedness``: optional ``RelatednessState`` for the F3 context
+    feature (None → same-label overlap only)."""
     jac = estimate_jaccard(
         np.frombuffer(sig_a, dtype=np.uint64), np.frombuffer(sig_b, dtype=np.uint64)
     )
@@ -131,6 +192,13 @@ def compute_pair_features(
         "lev_ratio": lv,
         "anchor_overlap": _anchor_overlap(
             anchor_labels_a, anchor_weights_a, anchor_labels_b, anchor_weights_b
+        ),
+        "ctx_relatedness": _ctx_relatedness_scalar(
+            anchor_labels_a,
+            anchor_weights_a,
+            anchor_labels_b,
+            anchor_weights_b,
+            relatedness,
         ),
         "len_ratio": min(n_chars_a, n_chars_b) / hi,
     }
@@ -171,6 +239,45 @@ def _anchor_matrices(labels: list, weights: list) -> tuple[np.ndarray, np.ndarra
     return a_hash, a_w
 
 
+def _ctx_relatedness_batch(
+    ah_a: np.ndarray, aw_a: np.ndarray, ah_b: np.ndarray, aw_b: np.ndarray, rel_pack
+) -> np.ndarray:
+    """Vectorized F3 kernel over the fixed-width anchor matrices. Twin of
+    ``_ctx_relatedness_scalar`` — identical float ops, parity-tested."""
+    n = len(ah_a)
+    # rel matrix per pair: 1.0 on equal label hashes (padding 0 never equal)
+    heq = (ah_a[:, :, None] == ah_b[:, None, :]) & (ah_a[:, :, None] != 0)
+    rel_mat = heq.astype(np.float64)
+    if rel_pack is not None and len(rel_pack[0]):
+        label_hash, label_sense, senses, pair_keys, pair_rel = rel_pack
+        v = len(senses)
+
+        def to_sidx(ah: np.ndarray) -> np.ndarray:
+            pos = np.searchsorted(label_hash, ah)
+            pos = np.minimum(pos, len(label_hash) - 1)
+            known = (label_hash[pos] == ah) & (ah != 0)
+            sidx = np.searchsorted(senses, label_sense[pos])
+            return np.where(known, sidx, -1)
+
+        sa = to_sidx(ah_a)  # (n, M)
+        sb = to_sidx(ah_b)
+        lo = np.minimum(sa[:, :, None], sb[:, None, :]).astype(np.int64)
+        hi = np.maximum(sa[:, :, None], sb[:, None, :]).astype(np.int64)
+        valid = lo >= 0
+        same = (sa[:, :, None] == sb[:, None, :]) & valid
+        key = np.where(valid, lo * v + hi, 0)
+        if len(pair_keys):
+            ppos = np.minimum(np.searchsorted(pair_keys, key), len(pair_keys) - 1)
+            found = valid & (pair_keys[ppos] == key)
+            looked = np.where(found, pair_rel[ppos], 0.0)
+        else:
+            looked = np.zeros_like(rel_mat)
+        rel_mat = np.maximum(rel_mat, np.where(same, 1.0, looked))
+    num = (aw_a[:, :, None] * aw_b[:, None, :] * rel_mat).sum(axis=(1, 2))
+    den = aw_a.sum(axis=1) * aw_b.sum(axis=1)
+    return np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+
+
 def _feature_arrays(
     sig_a: np.ndarray,
     sig_b: np.ndarray,
@@ -182,6 +289,7 @@ def _feature_arrays(
     aw_a: np.ndarray,
     ah_b: np.ndarray,
     aw_b: np.ndarray,
+    rel_pack=None,
 ) -> tuple[np.ndarray, ...]:
     """Vectorized per-pair features over aligned row arrays — the ONE
     scoring kernel shared by the broadcast (``score_pairs_fused``) and
@@ -190,7 +298,7 @@ def _feature_arrays(
     n = len(chars_a)
     if n == 0:
         e = np.empty(0)
-        return e, e, e, e, e
+        return e, e, e, e, e, e
     jac = (sig_a == sig_b).mean(axis=1)
     # anchor overlap on fixed-width hash matrices: match[i,j,k] ⇔
     # hash j of a == hash k of b (0 = padding, never matches)
@@ -200,6 +308,7 @@ def _feature_arrays(
     ).sum(axis=(1, 2))
     union = aw_a.sum(axis=1) + aw_b.sum(axis=1)
     ao = np.where(union > 0, shared / np.where(union > 0, union, 1.0), 0.0)
+    ctx = _ctx_relatedness_batch(ah_a, aw_a, ah_b, aw_b, rel_pack)
     hi = np.maximum(np.maximum(chars_a, chars_b), 1.0)
     lr = np.minimum(chars_a, chars_b) / hi
     jw = jac.copy()
@@ -210,13 +319,13 @@ def _feature_arrays(
         hb = np.asarray(heads_b[band], dtype=object)
         jw[band] = batch_jaro_winkler(ha, hb, cap=JW_CAP)
         lv[band] = batch_levenshtein_ratio(ha, hb, cap=LEV_CAP)
-    return jac, jw, lv, ao, lr
+    return jac, jw, lv, ao, ctx, lr
 
 
 def _edges_table(
     conv_a, conv_b, block_id, feats: tuple[np.ndarray, ...], scfg: ScoringConfig
 ) -> pa.Table:
-    jac, jw, lv, ao, lr = feats
+    jac, jw, lv, ao, ctx, lr = feats
     wsum = sum(scfg.weights.values()) or 1.0
     score_v = np.full(len(jac), scfg.bias, dtype=np.float64)
     for name, arr in (
@@ -224,6 +333,7 @@ def _edges_table(
         ("jaro_winkler", jw),
         ("lev_ratio", lv),
         ("anchor_overlap", ao),
+        ("ctx_relatedness", ctx),
         ("len_ratio", lr),
     ):
         score_v += (scfg.weights[name] / wsum) * arr
@@ -236,6 +346,7 @@ def _edges_table(
             "jaro_winkler": pa.array(jw),
             "lev_ratio": pa.array(lv),
             "anchor_overlap": pa.array(ao),
+            "ctx_relatedness": pa.array(ctx),
             "len_ratio": pa.array(lr),
             "score": pa.array(score_v),
             "is_match": pa.array(score_v >= scfg.threshold),
@@ -287,11 +398,14 @@ def build_side_state(profiles: rd.Dataset):
     return ray.put((convs, sig_mat, heads, chars, a_hash, a_w))
 
 
-def score_pairs_fused(pairs: rd.Dataset, side_state, cfg: EngineConfig) -> rd.Dataset:
+def score_pairs_fused(
+    pairs: rd.Dataset, side_state, cfg: EngineConfig, rel_ref=None
+) -> rd.Dataset:
     """Deduplicated pairs + broadcast side state → scored edges, one fused
     stateless stage. Vectorized throughout: Jaccard = row equality over the
     signature matrix, anchor overlap = broadcast hash-matrix intersection,
-    cascade gates the O(n²) edit metrics to contested pairs only."""
+    cascade gates the O(n²) edit metrics to contested pairs only.
+    ``rel_ref``: optional ObjectRef of a packed ``RelatednessState`` (F3)."""
     import ray
 
     scfg = cfg.scoring
@@ -303,6 +417,7 @@ def score_pairs_fused(pairs: rd.Dataset, side_state, cfg: EngineConfig) -> rd.Da
             st = ray.get(side_state)
             _SIDE_CACHE.clear()
             _SIDE_CACHE[key] = st
+        rel_pack = _get_rel_pack(rel_ref)
         convs, sig_mat, heads, chars, a_hash, a_w = st
         n = batch.num_rows
         # NOTE: an id wider than the side table's fixed-width S-dtype would
@@ -333,10 +448,11 @@ def score_pairs_fused(pairs: rd.Dataset, side_state, cfg: EngineConfig) -> rd.Da
             feats = _feature_arrays(
                 sig_mat[ia], sig_mat[ib], heads[ia], heads[ib],
                 chars[ia], chars[ib], a_hash[ia], a_w[ia], a_hash[ib], a_w[ib],
+                rel_pack=rel_pack,
             )
         else:
             e = np.empty(0)
-            feats = (e, e, e, e, e)
+            feats = (e, e, e, e, e, e)
         return _edges_table(
             batch["conv_a"], batch["conv_b"], batch["block_id"], feats, scfg
         )
@@ -380,7 +496,7 @@ def build_side_rows(profiles: rd.Dataset) -> rd.Dataset:
 
 
 def score_pairs_scatter(
-    pairs: rd.Dataset, profiles: rd.Dataset, cfg: EngineConfig
+    pairs: rd.Dataset, profiles: rd.Dataset, cfg: EngineConfig, rel_ref=None
 ) -> rd.Dataset:
     """Scored edges WITHOUT any whole-dataset broadcast: the per-conv side
     payload rides a conv-keyed scatter/gather bucket join (the
@@ -471,6 +587,7 @@ def score_pairs_scatter(
             a["n_chars"].to_numpy(dtype=np.float64),
             b["n_chars"].to_numpy(dtype=np.float64),
             ah_a, aw_a, ah_b, aw_b,
+            rel_pack=_get_rel_pack(rel_ref),
         )
         split = a["pair_key"].str.split(PAIR_SEP, n=1, expand=True)
         return _edges_table(
@@ -484,15 +601,33 @@ def score_pairs_scatter(
     return sorted_apply_exact(attached, "pair_key", score_block)
 
 
-def score_pairs(pairs: rd.Dataset, profiles: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
+def score_pairs(
+    pairs: rd.Dataset,
+    profiles: rd.Dataset,
+    cfg: EngineConfig,
+    relatedness=None,
+) -> rd.Dataset:
     """Gated scorer: at or below ``scoring.side_broadcast_gate`` profile rows
     the whole side table broadcasts (one ``ray.put``, zero-copy numpy reads —
     fastest at small/medium scale); above it the conv-keyed scatter/gather
     runs so no driver materialization or whole-dataset broadcast ever happens
-    (the 10^12-turn path). Both produce byte-identical edges."""
+    (the 10^12-turn path). Both produce byte-identical edges.
+
+    ``relatedness``: optional ``RelatednessState`` (or pre-put ObjectRef of
+    its pack) for the F3 context feature. Unlike the per-record side table,
+    this is vocabulary-sized statistical metadata — broadcast on BOTH paths
+    (one ``ray.put``), like the anchor dictionary itself."""
+    import ray
+
+    rel_ref = None
+    if relatedness is not None:
+        if isinstance(relatedness, ray.ObjectRef):
+            rel_ref = relatedness
+        else:
+            rel_ref = ray.put(relatedness.pack())
     if profiles.count() <= cfg.scoring.side_broadcast_gate:
-        return score_pairs_fused(pairs, build_side_state(profiles), cfg)
-    return score_pairs_scatter(pairs, profiles, cfg)
+        return score_pairs_fused(pairs, build_side_state(profiles), cfg, rel_ref)
+    return score_pairs_scatter(pairs, profiles, cfg, rel_ref)
 
 
 def fit_weights(
