@@ -79,14 +79,22 @@ def resolve_entities_checkpointed(
     anchor_dict_path: str | None = None,
     num_partitions: int = 16,
     relatedness_path: str | None = None,
+    pair_resume_buckets: int = 8,
 ) -> "rd.Dataset":
     """Checkpointed flagship run (T10): each stage lands as per-partition
     Parquet + manifest under ``checkpoint_dir``; a rerun (same config, same
     inputs) reuses every valid stage and recomputes only what changed —
     resume-equals-fresh is asserted by tests.
 
+    The pair shuffle — the pipeline's heaviest stage — checkpoints at
+    PARTITION granularity (north_rule "resumes mid-shuffle"): blocking
+    keys hash into ``pair_resume_buckets`` buckets, each bucket's
+    candidate_pairs output lands as an atomically-renamed part, and a
+    crashed run resumes from the finished parts (anti-join of part ids).
+    A cheap merge stage dedups pairs found via keys in different buckets.
+
     Stage graph and lineage chain (fingerprints feed forward):
-        transcripts ─ profiles ─ keys+pairs ─ edges ─ clusters
+        transcripts ─ profiles ─ keys+pairs(parts) ─ pairs_merge ─ edges ─ clusters
     """
     import glob
 
@@ -127,13 +135,40 @@ def resolve_entities_checkpointed(
         ),
     )
 
-    def make_pairs() -> rd.Dataset:
+    def block_keys() -> rd.Dataset:
         keys = lsh_block_keys(prof.dataset, cfg)
         if dict_table is not None:
             keys = keys.union(anchor_block_keys(prof.dataset, cfg))
-        return candidate_pairs(keys, cfg)
+        return keys
 
-    pairs = ck.stage("pairs", prof.fingerprint, make_pairs)
+    from ..stages.pairs import bucket_of_block_keys, merge_pair_parts
+
+    n_buckets = max(1, pair_resume_buckets)
+
+    def make_pairs_part(pid: str) -> rd.Dataset:
+        import pandas as pd
+
+        bucket = int(pid[1:])
+
+        def only_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            hb = bucket_of_block_keys(df["block_key"].to_numpy(), n_buckets)
+            return df[hb == bucket]
+
+        return candidate_pairs(
+            block_keys().map_batches(only_bucket, batch_format="pandas"), cfg
+        )
+
+    part_ids = [f"b{i}" for i in range(n_buckets)]
+    pair_parts = ck.partitioned_stage(
+        "pairs", prof.fingerprint, part_ids, make_pairs_part
+    )
+    pairs = ck.stage(
+        "pairs_merge",
+        pair_parts.fingerprint,
+        lambda: merge_pair_parts(pair_parts.dataset),
+    )
 
     def make_edges() -> rd.Dataset:
         return score_pairs(pairs.dataset, prof.dataset, cfg, relatedness=rel_state)

@@ -144,6 +144,136 @@ class Checkpointer:
             wall_sec=wall,
         )
 
+    def partitioned_stage(
+        self,
+        name: str,
+        input_fingerprint: str,
+        part_ids: list[str],
+        compute_part: Callable[[str], rd.Dataset],
+    ) -> StageResult:
+        """Partition-level resume (north_rule "resumes mid-shuffle"): the
+        stage's work is split into deterministic parts; each finished part
+        is an atomically-renamed directory under ``parts/``, so a crash
+        mid-stage loses only the in-flight part. Resume = anti-join of
+        ``part_ids`` against the finished directory names (the J6
+        semi/anti-join pattern, driver-side — part counts are small).
+
+        Layout:
+            <root>/<stage>/PENDING.json   (config_hash + input_fingerprint,
+                                           written FIRST — guards partial
+                                           parts against config/input drift)
+            <root>/<stage>/parts/<pid>/*.parquet   (atomic per-part rename)
+            <root>/<stage>/MANIFEST.json  (written LAST — the commit point;
+                                           same validity contract as
+                                           ``stage()``)
+        """
+        final = self._dir(name)
+        man = self._manifest(name)
+        if (
+            man is not None
+            and man.get("config_hash") == self.config_hash
+            and man.get("input_fingerprint") == input_fingerprint
+        ):
+            ds = rd.read_parquet(os.path.join(final, "parts"))
+            return StageResult(
+                dataset=ds,
+                fingerprint=man["output_fingerprint"],
+                resumed=True,
+                wall_sec=0.0,
+            )
+
+        t0 = time.perf_counter()
+        pending_path = os.path.join(final, "PENDING.json")
+        parts_dir = os.path.join(final, "parts")
+        pending = None
+        if os.path.exists(pending_path):
+            with open(pending_path) as f:
+                pending = json.load(f)
+        if (
+            pending is None
+            or pending.get("config_hash") != self.config_hash
+            or pending.get("input_fingerprint") != input_fingerprint
+            or pending.get("part_ids") != list(part_ids)  # partitioning changed
+            or man is not None  # stale complete stage: rebuild from scratch
+        ):
+            if os.path.exists(final):
+                import shutil
+
+                shutil.rmtree(final)
+            os.makedirs(parts_dir, exist_ok=True)
+            with open(pending_path + ".tmp", "w") as f:
+                json.dump(
+                    {
+                        "config_hash": self.config_hash,
+                        "input_fingerprint": input_fingerprint,
+                        "part_ids": list(part_ids),
+                    },
+                    f,
+                )
+            os.rename(pending_path + ".tmp", pending_path)
+
+        # clear crashed in-flight litter so the final read sees only
+        # completed (renamed) parts
+        if os.path.exists(parts_dir):
+            import shutil
+
+            for d in os.listdir(parts_dir):
+                if d.startswith(".tmp-"):
+                    shutil.rmtree(os.path.join(parts_dir, d), ignore_errors=True)
+        done = {
+            d for d in os.listdir(parts_dir) if not d.startswith(".tmp-")
+        } if os.path.exists(parts_dir) else set()
+        resumed_any = bool(done)
+        for pid in part_ids:
+            if pid in done:
+                continue
+            ds_part = compute_part(pid)
+            tmp = os.path.join(parts_dir, f".tmp-{pid}-{uuid.uuid4().hex[:8]}")
+            ds_part.write_parquet(tmp)
+            os.makedirs(tmp, exist_ok=True)  # an all-empty part writes no dir
+            os.rename(tmp, os.path.join(parts_dir, pid))
+        wall = time.perf_counter() - t0
+
+        import pyarrow.parquet as pq
+
+        file_meta = []
+        all_files = []
+        for pid in sorted(part_ids):
+            pdir = os.path.join(parts_dir, pid)
+            for f in sorted(os.listdir(pdir)):
+                if f.endswith(".parquet"):
+                    p = os.path.join(pdir, f)
+                    all_files.append(p)
+                    file_meta.append(
+                        {
+                            "name": f"{pid}/{f}",
+                            "rows": pq.read_metadata(p).num_rows,
+                        }
+                    )
+        out_fp = fingerprint_paths(all_files)
+        manifest = {
+            "stage": name,
+            "config_hash": self.config_hash,
+            "input_fingerprint": input_fingerprint,
+            "output_fingerprint": out_fp,
+            "rows": sum(m["rows"] for m in file_meta),
+            "files": file_meta,
+            "partitioned": True,
+            "resumed_parts": sorted(done),
+            "wall_sec": round(wall, 3),
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        mtmp = os.path.join(final, f".tmp-manifest-{uuid.uuid4().hex[:8]}")
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.rename(mtmp, os.path.join(final, MANIFEST))
+        return StageResult(
+            dataset=rd.read_parquet(parts_dir),
+            fingerprint=out_fp,
+            resumed=resumed_any,
+            wall_sec=wall,
+        )
+
     def completed_stages(self) -> dict[str, dict]:
         out = {}
         for d in sorted(os.listdir(self.root)):

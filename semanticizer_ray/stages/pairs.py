@@ -166,6 +166,34 @@ def _salted_group_pairs(
     return out_pk, out_block, out_over
 
 
+def bucket_of_block_keys(keys: "np.ndarray", num_buckets: int) -> "np.ndarray":
+    """Deterministic (process-stable) hash bucket per block key — the
+    partition unit for mid-shuffle resume: a key's entire group lives in
+    exactly one bucket, so per-bucket censuses/salting/pair sets are exact
+    and their union is the full pre-dedup pair set."""
+    return pd.util.hash_array(np.asarray(keys, dtype=object)) % num_buckets
+
+
+def merge_pair_parts(parts: rd.Dataset) -> rd.Dataset:
+    """Union of per-bucket candidate_pairs outputs → globally deduplicated
+    pairs (a pair found via keys in two different buckets appears twice
+    across parts; same min-block_id / max-overflow combine as the
+    in-stage dedup)."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return (
+            df.groupby(["conv_a", "conv_b"], sort=False)
+            .agg(block_id=("block_id", "min"), block_overflow=("block_overflow", "max"))
+            .reset_index()
+        )
+
+    return sorted_grouped_agg(
+        parts, ["conv_a", "conv_b"], combine, driver_gate=DRIVER_GATE
+    )
+
+
 def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
     """(block_key, conv_id) rows → deduplicated (conv_a, conv_b) pairs.
 

@@ -83,6 +83,110 @@ def test_resume_equals_fresh(ray_session, fixture_dir, tmp_path):
     assert again.count() == len(fresh)
 
 
+def test_partitioned_stage_resumes_after_crash(ray_session, tmp_path):
+    """Crash mid-stage (exception during part 3 of 5) → resume completes
+    only the missing parts; result identical to an uninterrupted run."""
+    import ray.data as rd
+
+    cfg = EngineConfig()
+    part_ids = [f"b{i}" for i in range(5)]
+
+    def make_compute(fail_at: str | None, calls: list):
+        def compute(pid: str) -> rd.Dataset:
+            if pid == fail_at:
+                raise RuntimeError("simulated crash mid-shuffle")
+            calls.append(pid)
+            return rd.from_pandas(
+                pd.DataFrame({"part": [pid] * 3, "v": [1, 2, 3]})
+            )
+
+        return compute
+
+    ck_fresh = Checkpointer(str(tmp_path / "fresh"), cfg)
+    fresh_calls: list = []
+    fresh = ck_fresh.partitioned_stage(
+        "s", "fp0", part_ids, make_compute(None, fresh_calls)
+    )
+    fresh_df = fresh.dataset.to_pandas().sort_values(["part", "v"]).reset_index(drop=True)
+
+    ck = Checkpointer(str(tmp_path / "crashy"), cfg)
+    crash_calls: list = []
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ck.partitioned_stage("s", "fp0", part_ids, make_compute("b3", crash_calls))
+    assert crash_calls == ["b0", "b1", "b2"]  # b3 crashed, b4 never ran
+    assert not os.path.exists(tmp_path / "crashy" / "s" / "MANIFEST.json")
+
+    resume_calls: list = []
+    resumed = ck.partitioned_stage(
+        "s", "fp0", part_ids, make_compute(None, resume_calls)
+    )
+    assert resume_calls == ["b3", "b4"]  # finished parts NOT recomputed
+    assert resumed.resumed
+    resumed_df = (
+        resumed.dataset.to_pandas().sort_values(["part", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fresh_df, resumed_df)
+
+    # changed input fingerprint invalidates partial parts too
+    ck2 = Checkpointer(str(tmp_path / "crashy2"), cfg)
+    c2: list = []
+    with pytest.raises(RuntimeError):
+        ck2.partitioned_stage("s", "fpA", part_ids, make_compute("b2", c2))
+    c3: list = []
+    ck2.partitioned_stage("s", "fpB", part_ids, make_compute(None, c3))
+    assert c3 == part_ids  # nothing reused across fingerprints
+
+
+def test_pair_shuffle_partition_resume(ray_session, fixture_dir, tmp_path):
+    """Kill during the pair shuffle (partial parts on disk, no manifest),
+    resume, byte-compare final clusters to an uninterrupted run — the
+    north_rule "resumes mid-shuffle" criterion."""
+    import shutil
+
+    cfg = EngineConfig()
+    tr = fixture_dir["transcripts"]
+
+    fresh = resolve_entities_checkpointed(
+        tr, cfg, str(tmp_path / "runA")
+    ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+
+    # fabricate the exact on-disk state of a run killed mid-pair-write:
+    # profiles complete; pairs stage has PENDING + a subset of parts
+    src, dst = tmp_path / "runA", tmp_path / "runB"
+    os.makedirs(dst)
+    shutil.copytree(src / "profiles", dst / "profiles")
+    man = json.load(open(src / "pairs" / "MANIFEST.json"))
+    os.makedirs(dst / "pairs" / "parts")
+    with open(dst / "pairs" / "PENDING.json", "w") as f:
+        json.dump(
+            {
+                "config_hash": man["config_hash"],
+                "input_fingerprint": man["input_fingerprint"],
+                "part_ids": [f"b{i}" for i in range(8)],
+            },
+            f,
+        )
+    done_parts = ["b0", "b1", "b5"]
+    for pid in done_parts:
+        shutil.copytree(src / "pairs" / "parts" / pid, dst / "pairs" / "parts" / pid)
+    # in-flight litter from the "crash"
+    os.makedirs(dst / "pairs" / "parts" / ".tmp-b2-dead")
+
+    kept_mtimes = {
+        pid: os.path.getmtime(dst / "pairs" / "parts" / pid) for pid in done_parts
+    }
+    resumed = resolve_entities_checkpointed(
+        tr, cfg, str(dst)
+    ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(fresh, resumed)
+    for pid in done_parts:  # finished parts were reused, not rewritten
+        assert os.path.getmtime(dst / "pairs" / "parts" / pid) == kept_mtimes[pid]
+    assert not os.path.exists(dst / "pairs" / "parts" / ".tmp-b2-dead")
+    man_b = json.load(open(dst / "pairs" / "MANIFEST.json"))
+    assert sorted(man_b["resumed_parts"]) == done_parts
+
+
 def test_no_tmp_litter_on_success(ray_session, fixture_dir, tmp_path):
     cfg = EngineConfig()
     resolve_entities_checkpointed(
