@@ -910,6 +910,18 @@ FROM documents ORDER BY doc_id
 """
 
 
+def sense_degrees(sf_dir: str) -> pd.DataFrame:
+    """F2 concept-graph degrees (INDEGREE / link_occ / generality) per
+    sense over the ER fixture's link corpus (rows-only: the corpus is an
+    engine fixture, not a driver view; DuckDB parity asserted in
+    tests/test_relatedness.py)."""
+    from ..state.relatedness import build_sense_degrees
+
+    fx = _er_fixture_dir(sf_dir)
+    corp = os.path.join(fx, "link_corpus.parquet")
+    return build_sense_degrees(rd.read_parquet(corp), EngineConfig())
+
+
 def media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: synthetic media table → decode/feature actor
     pool (deterministic fake decode; rows-only)."""
@@ -958,6 +970,7 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "doc_fingerprints": (doc_fingerprints, None),
     "knn_lsh_cosine": (knn_lsh_cosine, None),
     "embedding_neardup_pairs": (embedding_neardup_pairs, None),
+    "sense_degrees": (sense_degrees, None),
     "doc_stopword_removal": (doc_stopword_removal, DOC_STOPWORDS_SQL),
     "media_features": (media_features, None),
 }

@@ -196,6 +196,75 @@ def build_relatedness(
     return pruned
 
 
+def build_sense_degrees(corpus: rd.Dataset, cfg: EngineConfig) -> pd.DataFrame:
+    """F2 concept-graph degree features (SURVEY.md F2 INDEGREE/OUTDEGREE):
+    per sense — ``indegree`` = distinct documents linking to it (the
+    incoming-link count of the concept), ``link_occ`` = total link
+    occurrences, and ``generality`` = log(indegree + 1) (the reference's
+    generality proxy). Distributed: per-batch distinct collapse, then one
+    sense-keyed exchange; tested against a DuckDB oracle on the fixture
+    corpus."""
+    import pyarrow.compute as pc
+
+    from ..functions.groupagg import sorted_apply_exact
+
+    linked = corpus.map_batches(
+        lambda t: t.select(["doc_id", "sense_id"]).filter(
+            pc.greater_equal(t["sense_id"], 0)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "sense_id": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "occ": pd.Series(dtype="int64"),
+                }
+            )
+        if "occ" in df.columns:
+            return (
+                df.groupby(["sense_id", "doc_id"], sort=False)["occ"]
+                .sum()
+                .reset_index()
+            )
+        return (
+            df.groupby(["sense_id", "doc_id"], sort=False)
+            .size()
+            .reset_index(name="occ")
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "sense_id": pd.Series(dtype="int64"),
+                    "indegree": pd.Series(dtype="int64"),
+                    "link_occ": pd.Series(dtype="int64"),
+                    "generality": pd.Series(dtype="float64"),
+                }
+            )
+        df = partial(df)  # re-collapse cross-batch (sense, doc) repeats
+        g = df.groupby("sense_id", sort=True).agg(
+            indegree=("doc_id", "nunique"), link_occ=("occ", "sum")
+        )
+        g["generality"] = np.log(g["indegree"].to_numpy(dtype=np.float64) + 1.0)
+        return g.reset_index()
+
+    # distinct-doc counts are NOT re-combinable from per-batch partials (a
+    # doc's rows can span batches), so finalize runs on COMPLETE sense
+    # groups; the per-batch partial still shrinks the shuffle to one row
+    # per (sense, doc, batch)
+    out = sorted_apply_exact(
+        linked.map_batches(partial, batch_format="pandas"), "sense_id", finalize
+    ).to_pandas()
+    if out.empty or "sense_id" not in out.columns:
+        return finalize(pd.DataFrame())
+    return out.sort_values("sense_id").reset_index(drop=True)
+
+
 class RelatednessState:
     """Packed lookup for the scoring kernel — all numpy, broadcastable.
 

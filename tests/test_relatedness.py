@@ -4,6 +4,8 @@ offline co-occurrence artifact + pair feature)."""
 
 import math
 
+import pandas as pd
+
 import numpy as np
 import pytest
 
@@ -141,6 +143,31 @@ def test_ctx_batch_matches_scalar(rel_state):
         for i, (la, wa, lb, wb) in enumerate(cases):
             want = _ctx_relatedness_scalar(la, wa, lb, wb, state)
             assert got[i] == pytest.approx(want, abs=1e-12), (i, la, lb)
+
+
+def test_sense_degrees_vs_duckdb(ray_session, fixture_dir):
+    """F2 degree features match a DuckDB oracle on the fixture corpus."""
+    import duckdb
+    import ray.data as rd
+
+    from semanticizer_ray.state.relatedness import build_sense_degrees
+
+    corpus_path = fixture_dir["link_corpus"]
+    got = build_sense_degrees(rd.read_parquet(corpus_path), EngineConfig())
+    want = duckdb.sql(
+        f"""
+        SELECT sense_id,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS indegree,
+               CAST(COUNT(*) AS BIGINT) AS link_occ,
+               LN(COUNT(DISTINCT doc_id) + 1) AS generality
+        FROM read_parquet('{corpus_path}')
+        WHERE sense_id >= 0
+        GROUP BY sense_id ORDER BY sense_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
 
 
 def test_ctx_in_edges(ray_session, rel_state):
