@@ -53,7 +53,14 @@ def join(
     if how not in _HOW:
         raise ValueError(f"join: how must be one of {_HOW}")
     keys = _keys(on)
-    n_right = right.count() if right_count is None else right_count
+    if right_count is None:
+        # pin the build side before counting: a lazy right (often itself a
+        # join output) would otherwise execute once for the count and again
+        # for the collect/union — and chained joins recompute whole subtrees
+        right = right.materialize()
+        n_right = right.count()
+    else:
+        n_right = right_count
     if n_right <= broadcast_gate:
         return _broadcast_join(left, right, keys, how)
     return _sort_merge_join(left, right, keys, how)
