@@ -146,6 +146,10 @@ def top_revenue_orders(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    # Ray's hash aggregate over Arrow blocks is efficient here (measured
+    # 6.9 s vs 8-9 s for a sorted_grouped_agg + per-block-top-k rewrite at
+    # sf0.1: the rewrite pays its own sort + boundary pass, while the
+    # 150k-row aggregate sorts cheaply)
     agg = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("l_orderkey")
@@ -240,10 +244,25 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
+    # NOT groupby().aggregate(): over the join's pandas blocks Ray's hash
+    # aggregate was measured at ~15 s for 600k rows; one vectorized
+    # per-batch partial + count-gated combine is ~5× faster (25 groups)
+    from ..functions.groupagg import sorted_grouped_agg
+
+    def rev_combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"n_name": pd.Series(dtype="str"), "revenue": pd.Series(dtype="float64")}
+            )
+        col = "revenue" if "revenue" in df.columns else "rev"
+        g = df.groupby("n_name", sort=False)[col].sum().reset_index()
+        return g.rename(columns={col: "revenue"})
+
     out = (
-        join(li, orders_n, on="l_orderkey")
-        .groupby("n_name")
-        .aggregate(Sum("rev", alias_name="revenue"))
+        sorted_grouped_agg(
+            join(li, orders_n, on="l_orderkey"), "n_name", rev_combine,
+            driver_gate=100_000,
+        )
         .to_pandas()
         .sort_values("n_name")
         .reset_index(drop=True)
@@ -283,10 +302,36 @@ def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
+    from ..functions.groupagg import sorted_grouped_agg
+
+    def pri_combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series(dtype="str"),
+                    "revenue": pd.Series(dtype="float64"),
+                    "n_items": pd.Series(dtype="int64"),
+                }
+            )
+        if "revenue" in df.columns:  # partial rows: re-sum
+            return (
+                df.groupby("o_orderpriority", sort=False)
+                .agg(revenue=("revenue", "sum"), n_items=("n_items", "sum"))
+                .reset_index()
+            )
+        return (
+            df.groupby("o_orderpriority", sort=False)
+            .agg(revenue=("rev", "sum"), n_items=("rev", "size"))
+            .reset_index()
+        )
+
     out = (
-        join(li, orders, on="l_orderkey", broadcast_gate=0)
-        .groupby("o_orderpriority")
-        .aggregate(Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
+        sorted_grouped_agg(
+            join(li, orders, on="l_orderkey", broadcast_gate=0),
+            "o_orderpriority",
+            pri_combine,
+            driver_gate=100_000,
+        )
         .to_pandas()
         .sort_values("o_orderpriority")
         .reset_index(drop=True)
