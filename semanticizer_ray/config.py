@@ -55,7 +55,12 @@ class BlockingConfig:
     num_bands: int = 16  # LSH bands (rows per band = num_hashes // num_bands)
     # conversations whose concatenated normalized text is shorter than this
     # still get at least one shingle (the padded text itself)
-    max_profile_chars: int = 4000  # cap on text snippet carried into scoring
+    # cap on the text snippet carried into scoring. 256 = the scorer's
+    # LEV_CAP (the edit metrics never read further); the MinHash signature
+    # covers the full text regardless. A larger head only inflates the
+    # conv-keyed exchange: at 4000 the profile sort moved ~15× more bytes
+    # for identical scores
+    max_profile_chars: int = 256
     # anchor-derived blocking: each conversation also emits its top-K rarest
     # matched anchors as blocking keys (complements LSH for short texts)
     anchor_keys_per_conv: int = 4
