@@ -862,14 +862,57 @@ def simhash_docs(sf_dir: str) -> pd.DataFrame:
     return simhash_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+from ..stages.textstats import _STOPWORDS as _LANG_STOPWORDS
+
+_STOPS_SQL = ", ".join(
+    f"'{w}'" for w in sorted(set().union(*_LANG_STOPWORDS.values()))
+)
+
+
 def doc_quality(sf_dir: str) -> pd.DataFrame:
+    """Quality heuristics with a full SQL oracle (DOC_QUALITY_SQL mirrors
+    the ratios and the clip-blend exactly; both sides round to 6)."""
     from ..stages.textstats import quality_score
 
     ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = quality_score(ds).to_pandas()[
         ["doc_id", "punct_ratio", "stop_ratio", "mean_word_len", "quality"]
     ]
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return _round_cols(out, ["punct_ratio", "stop_ratio", "mean_word_len", "quality"], nd=6)
+
+
+# exact SQL mirror of quality_score: punct = [^\w\s] chars / chars,
+# words = \S+ tokens, stops = the union stopword list, quality = the same
+# clip blend. NOTE: DuckDB's RE2 \w is ASCII while Python's re.UNICODE \w
+# is not — identical on this corpus (ASCII text), asserted by the gate.
+DOC_QUALITY_SQL = f"""
+WITH w AS (
+  SELECT doc_id, text,
+    greatest(length(text), 1)::DOUBLE AS nc,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words,
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE AS n_punct
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    n_punct / nc AS punct_ratio,
+    len(list_filter(words, x -> lower(x) IN ({_STOPS_SQL})))
+      / greatest(len(words), 1)::DOUBLE AS stop_ratio,
+    list_sum(list_transform(words, x -> length(x)))
+      / greatest(len(words), 1)::DOUBLE AS mean_word_len,
+    length(text)::DOUBLE AS n_chars
+  FROM w
+)
+SELECT doc_id,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stop_ratio, 6) AS stop_ratio,
+  round(coalesce(mean_word_len, 0.0), 6) AS mean_word_len,
+  round(
+    least(greatest(n_chars / 200.0, 0), 1) * 0.4
+    + least(greatest(stop_ratio / 0.3, 0), 1) * 0.4
+    + least(greatest(1.0 - punct_ratio / 0.2, 0), 1) * 0.2, 6) AS quality
+FROM r ORDER BY doc_id
+"""
 
 
 def doc_langid(sf_dir: str) -> pd.DataFrame:
@@ -935,12 +978,6 @@ def doc_stopword_removal(sf_dir: str) -> pd.DataFrame:
         "doc_id"
     ).reset_index(drop=True)
 
-
-from ..stages.textstats import _STOPWORDS as _LANG_STOPWORDS
-
-_STOPS_SQL = ", ".join(
-    f"'{w}'" for w in sorted(set().union(*_LANG_STOPWORDS.values()))
-)
 
 # exact SQL mirror of clean_tweet_text (sequential regex passes, innermost
 # first) + remove_stopwords (whitespace tokens, lowercase NOT IN list)
@@ -1010,7 +1047,7 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "er_mentions": (er_mentions, None),
     "minhash_dedup_docs": (minhash_dedup_docs, None),
     "simhash_docs": (simhash_docs, None),
-    "doc_quality": (doc_quality, None),
+    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_langid": (doc_langid, None),
     "doc_fingerprints": (doc_fingerprints, None),
     "knn_lsh_cosine": (knn_lsh_cosine, None),
