@@ -9,6 +9,10 @@
     ray job submit -- python -m semanticizer_ray build-dict \\
         --corpus /data/link_corpus.parquet --out /data/anchor_dict.parquet
 
+    # build the F3 sense co-occurrence relatedness artifact (offline job)
+    ray job submit -- python -m semanticizer_ray build-relatedness \\
+        --corpus /data/link_corpus.parquet --out /data/relatedness.parquet
+
 Standalone use initializes a local Ray session (guarded — under
 ``ray job submit`` the cluster session is joined instead).
 """
@@ -28,6 +32,8 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--transcripts", required=True)
     runp.add_argument("--checkpoint-dir", required=True)
     runp.add_argument("--anchor-dict", default=None)
+    runp.add_argument("--relatedness", default=None,
+                      help="F3 relatedness artifact (build-relatedness output)")
     runp.add_argument("--threshold", type=float, default=None)
     runp.add_argument("--seed", type=int, default=42)
 
@@ -35,6 +41,15 @@ def main(argv: list[str] | None = None) -> int:
     dictp.add_argument("--corpus", required=True)
     dictp.add_argument("--out", required=True)
     dictp.add_argument("--seed", type=int, default=42)
+
+    relp = sub.add_parser(
+        "build-relatedness", help="build the F3 sense co-occurrence artifact"
+    )
+    relp.add_argument("--corpus", required=True)
+    relp.add_argument("--out", required=True)
+    relp.add_argument("--min-cooc", type=int, default=2)
+    relp.add_argument("--max-relations-per-sense", type=int, default=64)
+    relp.add_argument("--seed", type=int, default=42)
 
     args = p.parse_args(argv)
 
@@ -56,7 +71,11 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.entity_resolution import resolve_entities_checkpointed
 
         clusters = resolve_entities_checkpointed(
-            args.transcripts, cfg, args.checkpoint_dir, anchor_dict_path=args.anchor_dict
+            args.transcripts,
+            cfg,
+            args.checkpoint_dir,
+            anchor_dict_path=args.anchor_dict,
+            relatedness_path=args.relatedness,
         )
         n = clusters.count()
         from .stages.checkpoint import Checkpointer
@@ -91,6 +110,26 @@ def main(argv: list[str] | None = None) -> int:
 
         os.replace(tmp, args.out)
         print(json.dumps({"labels": table.num_rows, "out": args.out}))
+    elif args.cmd == "build-relatedness":
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from .state.relatedness import build_relatedness
+
+        cfg = EngineConfig(seed=args.seed)
+        rel = build_relatedness(
+            rd.read_parquet(args.corpus),
+            cfg,
+            min_cooc=args.min_cooc,
+            max_relations_per_sense=args.max_relations_per_sense,
+        )
+        tmp = args.out + ".tmp"
+        pq.write_table(pa.Table.from_pandas(rel, preserve_index=False), tmp)
+        os.replace(tmp, args.out)
+        print(json.dumps({"pairs": len(rel), "out": args.out}))
     ray.shutdown()
     return 0
 

@@ -79,7 +79,7 @@ def resolve_entities_checkpointed(
     anchor_dict_path: str | None = None,
     num_partitions: int = 16,
     relatedness_path: str | None = None,
-    pair_resume_buckets: int = 8,
+    pair_resume_buckets: int | None = None,
 ) -> "rd.Dataset":
     """Checkpointed flagship run (T10): each stage lands as per-partition
     Parquet + manifest under ``checkpoint_dir``; a rerun (same config, same
@@ -143,7 +143,16 @@ def resolve_entities_checkpointed(
 
     from ..stages.pairs import bucket_of_block_keys, merge_pair_parts
 
-    n_buckets = max(1, pair_resume_buckets)
+    # resume granularity vs fixed cost: each bucket part runs a full
+    # candidate_pairs pipeline (~7 s fixed), so by default small inputs use
+    # fewer buckets (1 per ~10k conversations, capped at 8). Deterministic
+    # in the input; a changed bucket count on resume is caught by the
+    # PENDING part_ids guard and rebuilds the stage. Pass
+    # ``pair_resume_buckets`` to pin the count explicitly.
+    if pair_resume_buckets is None:
+        n_buckets = max(1, min(8, prof.dataset.count() // 10_000))
+    else:
+        n_buckets = max(1, pair_resume_buckets)
 
     def make_pairs_part(pid: str) -> rd.Dataset:
         import pandas as pd

@@ -147,7 +147,7 @@ def test_pair_shuffle_partition_resume(ray_session, fixture_dir, tmp_path):
     tr = fixture_dir["transcripts"]
 
     fresh = resolve_entities_checkpointed(
-        tr, cfg, str(tmp_path / "runA")
+        tr, cfg, str(tmp_path / "runA"), pair_resume_buckets=8
     ).to_pandas().sort_values("conv_id").reset_index(drop=True)
 
     # fabricate the exact on-disk state of a run killed mid-pair-write:
@@ -176,7 +176,7 @@ def test_pair_shuffle_partition_resume(ray_session, fixture_dir, tmp_path):
         pid: os.path.getmtime(dst / "pairs" / "parts" / pid) for pid in done_parts
     }
     resumed = resolve_entities_checkpointed(
-        tr, cfg, str(dst)
+        tr, cfg, str(dst), pair_resume_buckets=8
     ).to_pandas().sort_values("conv_id").reset_index(drop=True)
 
     pd.testing.assert_frame_equal(fresh, resumed)
