@@ -21,18 +21,27 @@ from semanticizer_ray.pipelines.entity_resolution import resolve_entities
 
 @pytest.fixture(scope="module")
 def er_run(ray_session, fixture_dir):
+    """Full pipeline WITH the F3 relatedness artifact — the oracle tests
+    below recompute features with the same state, so parity covers the
+    context feature end-to-end."""
     import ray.data as rd
 
     from semanticizer_ray.config import DEFAULT_CONFIG
     from semanticizer_ray.state.anchor_dict import build_anchor_dict
+    from semanticizer_ray.state.relatedness import RelatednessState, build_relatedness
     import pyarrow as pa
 
     cfg = EngineConfig()
     transcripts = rd.read_parquet(fixture_dir["transcripts"])
     corpus = rd.read_parquet(fixture_dir["link_corpus"])
     dict_table = pa.Table.from_pandas(build_anchor_dict(corpus, cfg).to_pandas())
-    result = resolve_entities(transcripts, cfg, anchor_dict_source=dict_table)
-    return cfg, result
+    rel_state = RelatednessState.from_tables(
+        dict_table, build_relatedness(corpus, cfg)
+    )
+    result = resolve_entities(
+        transcripts, cfg, anchor_dict_source=dict_table, relatedness=rel_state
+    )
+    return cfg, result, rel_state
 
 
 def test_empty_transcripts(ray_session):
@@ -56,7 +65,7 @@ def test_empty_transcripts(ray_session):
     assert res.clusters.count() == 0
 
 
-def _score_row(row, cfg: EngineConfig) -> float:
+def _score_row(row, cfg: EngineConfig, relatedness=None) -> float:
     from semanticizer_ray.stages.scoring import compute_pair_features
 
     feats = compute_pair_features(
@@ -65,6 +74,7 @@ def _score_row(row, cfg: EngineConfig) -> float:
         row["n_chars_a"], row["n_chars_b"],
         row["anchor_labels_a"], row["anchor_weights_a"],
         row["anchor_labels_b"], row["anchor_weights_b"],
+        relatedness=relatedness,
     )
     wsum = sum(cfg.scoring.weights.values())
     return sum(w * feats[k] for k, w in cfg.scoring.weights.items()) / wsum + cfg.scoring.bias
@@ -97,13 +107,13 @@ def _attach_side(edges: pd.DataFrame, result) -> pd.DataFrame:
 
 def test_f1_vs_bruteforce_oracle(er_run, fixture_dir):
     """Pipeline clusters == oracle clusters on blocked pairs (F1 >= 0.99)."""
-    cfg, result = er_run
+    cfg, result, rel_state = er_run
     edges = result.edges.to_pandas()  # scored blocked pairs
     assert len(edges) > 50
     edges = _attach_side(edges, result)
 
     # oracle: same features, driver-side score + union-find over match edges
-    oracle_scores = edges.apply(lambda r: _score_row(r, cfg), axis=1)
+    oracle_scores = edges.apply(lambda r: _score_row(r, cfg, rel_state), axis=1)
     assert np.allclose(oracle_scores, edges["score"], atol=1e-9), "scorer parity"
     oracle_match = oracle_scores >= cfg.scoring.threshold
     oracle_edges = list(
@@ -131,7 +141,7 @@ def test_f1_vs_bruteforce_oracle(er_run, fixture_dir):
 
 def test_quality_vs_ground_truth(er_run, fixture_dir):
     """Sanity: predicted clusters track the generator's planted truth."""
-    cfg, result = er_run
+    cfg, result, rel_state = er_run
     truth = pq.read_table(fixture_dir["clusters_truth"]).to_pandas()
     tmap = dict(zip(truth["conv_id"], truth["cluster_id"]))
     edges = result.edges.to_pandas()
@@ -148,7 +158,7 @@ def test_quality_vs_ground_truth(er_run, fixture_dir):
 
 
 def test_canonical_cluster_ids(er_run):
-    _, result = er_run
+    _, result, _rel = er_run
     clusters = result.clusters.to_pandas()
     mins = clusters.groupby("cluster_id")["conv_id"].min()
     assert (mins.index == mins.values).all()  # cluster_id = min member
@@ -159,7 +169,7 @@ def test_per_turn_text_equality(ray_session, er_run, fixture_dir):
     byte-identical under stable (conv_id, turn_idx) ordering."""
     import ray.data as rd
 
-    cfg, result = er_run
+    cfg, result, rel_state = er_run
     src = (
         pq.read_table(fixture_dir["transcripts"])
         .to_pandas()
@@ -183,7 +193,7 @@ def test_score_symmetry(er_run):
     """Property (SURVEY §5.4): s(a,b) == s(b,a) — features are symmetric."""
     from semanticizer_ray.stages.scoring import compute_pair_features
 
-    cfg, result = er_run
+    cfg, result, rel_state = er_run
     edges = _attach_side(result.edges.to_pandas().head(50), result)
     for _, r in edges.iterrows():
         f_ab = compute_pair_features(
@@ -191,12 +201,14 @@ def test_score_symmetry(er_run):
             r["n_chars_a"], r["n_chars_b"],
             r["anchor_labels_a"], r["anchor_weights_a"],
             r["anchor_labels_b"], r["anchor_weights_b"],
+            relatedness=rel_state,
         )
         f_ba = compute_pair_features(
             r["sig_b"], r["sig_a"], r["text_head_b"], r["text_head_a"],
             r["n_chars_b"], r["n_chars_a"],
             r["anchor_labels_b"], r["anchor_weights_b"],
             r["anchor_labels_a"], r["anchor_weights_a"],
+            relatedness=rel_state,
         )
         for k in f_ab:
             assert abs(f_ab[k] - f_ba[k]) < 1e-12, k
@@ -205,7 +217,7 @@ def test_score_symmetry(er_run):
 def test_clustering_is_partition(er_run):
     """Property: every conversation in exactly one cluster; cluster ids are
     member ids (canonical min)."""
-    _, result = er_run
+    _, result, _rel = er_run
     clusters = result.clusters.to_pandas()
     profiles = result.profiles.to_pandas()
     assert set(clusters["conv_id"]) == set(profiles["conv_id"])
