@@ -495,110 +495,170 @@ def build_side_rows(profiles: rd.Dataset) -> rd.Dataset:
     )
 
 
+_SCATTER_COLS = [
+    "key", "kind", "other", "block_id",
+    "sig_a", "head_a", "nc_a", "ah_a", "aw_a",
+    "sig_b", "head_b", "nc_b", "ah_b", "aw_b",
+]
+
+
+def _scatter_side_rows(profiles: rd.Dataset, which: str) -> rd.Dataset:
+    """Per-conv payload rows in the unified scatter schema, payload in the
+    ``which`` ∈ {a, b} column slots (the other side's slots null)."""
+    import pyarrow.compute as pc
+
+    def shrink(batch: pa.Table) -> pa.Table:
+        head = pc.utf8_slice_codeunits(batch["text_head"], 0, max(LEV_CAP, JW_CAP))
+        ah, aw = _anchor_matrices(
+            batch["anchor_labels"].to_pylist(), batch["anchor_weights"].to_pylist()
+        )
+        n = batch.num_rows
+        payload = {
+            f"sig_{which}": batch["sig"],
+            f"head_{which}": head,
+            f"nc_{which}": pc.cast(batch["n_chars"], pa.float64()),
+            f"ah_{which}": pa.array([r.tobytes() for r in ah], pa.binary()),
+            f"aw_{which}": pa.array([r.tobytes() for r in aw], pa.binary()),
+        }
+        cols: dict = {"key": batch["conv_id"], "kind": pa.array(["p"] * n, pa.string())}
+        for c in _SCATTER_COLS[2:]:
+            if c in payload:
+                cols[c] = payload[c]
+            elif c in ("other", "block_id") or c.startswith("head_"):
+                cols[c] = pa.nulls(n, pa.string())
+            elif c.startswith("nc_"):
+                cols[c] = pa.nulls(n, pa.float64())
+            else:
+                cols[c] = pa.nulls(n, pa.binary())
+        return pa.table({c: cols[c] for c in _SCATTER_COLS})
+
+    return profiles.select_columns(["conv_id"] + SIDE_COLS).map_batches(
+        shrink, batch_format="pyarrow"
+    )
+
+
 def score_pairs_scatter(
     pairs: rd.Dataset, profiles: rd.Dataset, cfg: EngineConfig, rel_ref=None
 ) -> rd.Dataset:
     """Scored edges WITHOUT any whole-dataset broadcast: the per-conv side
-    payload rides a conv-keyed scatter/gather bucket join (the
+    payload rides two conv-keyed bucket-join exchanges (the
     ``clustering.py`` pattern; deliberately NOT ``Dataset.join`` — ray 2.49
     mishandles empty partitions inside composed plans):
 
-    1. explode each deduplicated pair into two (ckey=conv, pair_key, pos)
-       half-rows; union with the per-conv payload rows;
-    2. ``sorted_apply_exact(ckey)``: every half-row picks up its
-       conversation's payload (vectorized merge per complete key group);
-    3. ``sorted_apply_exact(pair_key)``: the two halves of each pair meet;
-       one vectorized ``_feature_arrays`` call per block scores all pairs.
+    1. pair rows keyed by conv_a union the A-slot payload rows;
+       ``sorted_apply_exact(key)`` attaches the A payload to each PAIR row
+       (one row per pair — no half-row explosion);
+    2. the output re-keys by conv_b and unions the B-slot payload rows;
+       the second ``sorted_apply_exact`` attaches the B payload and scores
+       the now-complete rows in place — no third exchange.
 
     Byte-identical to ``score_pairs_fused`` (same kernel, same anchor
-    matrices — asserted by the parity test); the trade is two extra
-    key-sorted exchanges for O(1) driver/worker memory at any record count.
-    Requires deduplicated pairs (exactly one row per unordered pair).
+    matrices — asserted by the parity test); the trade is two key-sorted
+    exchanges for O(1) driver/worker memory at any record count. Requires
+    deduplicated pairs (exactly one row per unordered pair).
     """
-    from ..functions.groupagg import group_starts, sorted_apply_exact
-    from .pairs import PAIR_SEP
+    from ..functions.groupagg import sorted_apply_exact
 
     scfg = cfg.scoring
-    side = build_side_rows(profiles)
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ca = batch["conv_a"].to_pylist()
-        cb = batch["conv_b"].to_pylist()
-        bid = batch["block_id"].to_pylist()
-        pk = [f"{a}{PAIR_SEP}{b}" for a, b in zip(ca, cb)]
-        n = len(pk)
-        return pa.table(
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols: dict = {
+            "key": batch["conv_a"],
+            "kind": pa.array(["x"] * n, pa.string()),
+            "other": batch["conv_b"],
+            "block_id": batch["block_id"],
+        }
+        for c in _SCATTER_COLS[4:]:
+            if c.startswith("head_"):
+                cols[c] = pa.nulls(n, pa.string())
+            elif c.startswith("nc_"):
+                cols[c] = pa.nulls(n, pa.float64())
+            else:
+                cols[c] = pa.nulls(n, pa.binary())
+        return pa.table({c: cols[c] for c in _SCATTER_COLS})
+
+    A_PAYLOAD = ["sig_a", "head_a", "nc_a", "ah_a", "aw_a"]
+    B_PAYLOAD = ["sig_b", "head_b", "nc_b", "ah_b", "aw_b"]
+
+    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
+        """Complete conv_a groups → pair rows with the A payload, re-keyed
+        by conv_b for the second exchange."""
+        if len(df) == 0:
+            return df.reindex(columns=_SCATTER_COLS)
+        profs = df.loc[df["kind"] == "p", ["key"] + A_PAYLOAD]
+        px = df.loc[df["kind"] == "x", ["key", "kind", "other", "block_id"]]
+        merged = px.merge(profs, on="key", how="left")
+        if merged["sig_a"].isna().any():
+            n_miss = int(merged["sig_a"].isna().sum())
+            raise ValueError(
+                f"score_pairs_scatter: {n_miss} conv_a ids have no profile row"
+            )
+        out = pd.DataFrame(
             {
-                "ckey": pa.array(ca + cb, pa.string()),
-                "kind": pa.array(["x"] * (2 * n), pa.string()),
-                "pair_key": pa.array(pk + pk, pa.string()),
-                "pos": pa.array(["a"] * n + ["b"] * n, pa.string()),
-                "block_id": pa.array(bid + bid, pa.string()),
-                "sig": pa.nulls(2 * n, pa.binary()),
-                "head": pa.nulls(2 * n, pa.string()),
-                "n_chars": pa.nulls(2 * n, pa.float64()),
-                "ah": pa.nulls(2 * n, pa.binary()),
-                "aw": pa.nulls(2 * n, pa.binary()),
+                "key": merged["other"],  # next exchange keys by conv_b
+                "kind": merged["kind"],
+                "other": merged["key"],  # conv_a rides along
+                "block_id": merged["block_id"],
             }
         )
+        for c in A_PAYLOAD:
+            out[c] = merged[c]
+        for c in B_PAYLOAD:
+            out[c] = np.nan if c.startswith("nc_") else None
+        return out[_SCATTER_COLS]
 
-    halves = pairs.map_batches(explode, batch_format="pyarrow")
-
-    ATTACH_COLS = ["pair_key", "pos", "block_id", "sig", "head", "n_chars", "ah", "aw"]
-
-    def attach_block(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df.reindex(columns=ATTACH_COLS)
-        profs = df.loc[df["kind"] == "p", ["ckey", "sig", "head", "n_chars", "ah", "aw"]]
-        hv = df.loc[df["kind"] == "x", ["ckey", "pair_key", "pos", "block_id"]]
-        merged = hv.merge(profs, on="ckey", how="left")
-        if merged["sig"].isna().any():
-            n_miss = int(merged["sig"].isna().sum())
-            raise ValueError(
-                f"score_pairs_scatter: {n_miss} pair conv_ids have no profile row"
-            )
-        return merged[ATTACH_COLS]
-
-    attached = sorted_apply_exact(side.union(halves), "ckey", attach_block)
-
-    def score_block(df: pd.DataFrame) -> pa.Table:
+    def attach_b_and_score(df: pd.DataFrame) -> pa.Table:
+        """Complete conv_b groups → full payload rows → scored edges, one
+        vectorized kernel call per block."""
         if len(df) == 0:
             return EDGE_SCHEMA.empty_table()
-        df = df.sort_values(["pair_key", "pos"], kind="stable")
-        pk = df["pair_key"].to_numpy()
-        sizes = np.diff(np.append(group_starts(pk), len(df)))
-        if not np.all(sizes == 2):
+        profs = df.loc[df["kind"] == "p", ["key"] + B_PAYLOAD]
+        px = df.loc[df["kind"] == "x"]
+        merged = px[["key", "other", "block_id"] + A_PAYLOAD].merge(
+            profs, on="key", how="left"
+        )
+        if merged["sig_b"].isna().any():
+            n_miss = int(merged["sig_b"].isna().sum())
             raise ValueError(
-                "score_pairs_scatter: pair group without exactly two halves "
-                "(pairs must be deduplicated)"
+                f"score_pairs_scatter: {n_miss} conv_b ids have no profile row"
             )
-        a = df.iloc[0::2]
-        b = df.iloc[1::2]
-        m = len(a)
-        sig_a = np.frombuffer(b"".join(a["sig"]), dtype=np.uint64).reshape(m, -1)
-        sig_b = np.frombuffer(b"".join(b["sig"]), dtype=np.uint64).reshape(m, -1)
-        ah_a = np.frombuffer(b"".join(a["ah"]), dtype=np.int64).reshape(m, MAX_SIDE_ANCHORS)
-        ah_b = np.frombuffer(b"".join(b["ah"]), dtype=np.int64).reshape(m, MAX_SIDE_ANCHORS)
-        aw_a = np.frombuffer(b"".join(a["aw"]), dtype=np.float64).reshape(m, MAX_SIDE_ANCHORS)
-        aw_b = np.frombuffer(b"".join(b["aw"]), dtype=np.float64).reshape(m, MAX_SIDE_ANCHORS)
+        m = len(merged)
+        if m == 0:
+            return EDGE_SCHEMA.empty_table()
+        sig_a = np.frombuffer(b"".join(merged["sig_a"]), dtype=np.uint64).reshape(m, -1)
+        sig_b = np.frombuffer(b"".join(merged["sig_b"]), dtype=np.uint64).reshape(m, -1)
+        ah_a = np.frombuffer(b"".join(merged["ah_a"]), dtype=np.int64).reshape(m, MAX_SIDE_ANCHORS)
+        ah_b = np.frombuffer(b"".join(merged["ah_b"]), dtype=np.int64).reshape(m, MAX_SIDE_ANCHORS)
+        aw_a = np.frombuffer(b"".join(merged["aw_a"]), dtype=np.float64).reshape(m, MAX_SIDE_ANCHORS)
+        aw_b = np.frombuffer(b"".join(merged["aw_b"]), dtype=np.float64).reshape(m, MAX_SIDE_ANCHORS)
         feats = _feature_arrays(
             sig_a, sig_b,
-            a["head"].to_numpy(), b["head"].to_numpy(),
-            a["n_chars"].to_numpy(dtype=np.float64),
-            b["n_chars"].to_numpy(dtype=np.float64),
+            merged["head_a"].to_numpy(), merged["head_b"].to_numpy(),
+            merged["nc_a"].to_numpy(dtype=np.float64),
+            merged["nc_b"].to_numpy(dtype=np.float64),
             ah_a, aw_a, ah_b, aw_b,
             rel_pack=_get_rel_pack(rel_ref),
         )
-        split = a["pair_key"].str.split(PAIR_SEP, n=1, expand=True)
         return _edges_table(
-            pa.array(split[0].to_numpy(), pa.string()),
-            pa.array(split[1].to_numpy(), pa.string()),
-            pa.array(a["block_id"].to_numpy(), pa.string()),
+            pa.array(merged["other"].to_numpy(), pa.string()),  # conv_a
+            pa.array(merged["key"].to_numpy(), pa.string()),  # conv_b
+            pa.array(merged["block_id"].to_numpy(), pa.string()),
             feats,
             scfg,
         )
 
-    return sorted_apply_exact(attached, "pair_key", score_block)
+    keyed_a = _scatter_side_rows(profiles, "a").union(
+        pairs.map_batches(pair_rows, batch_format="pyarrow")
+    )
+    with_a = sorted_apply_exact(keyed_a, "key", attach_a)
+    # unify block type for the second exchange: attach_a emits pandas
+    # blocks, so the side rows convert too (mixed block types inside one
+    # sort are the known ray-2.49 hazard — see module docstring)
+    side_b = _scatter_side_rows(profiles, "b").map_batches(
+        lambda df: df, batch_format="pandas"
+    )
+    return sorted_apply_exact(side_b.union(with_a), "key", attach_b_and_score)
 
 
 def score_pairs(
