@@ -187,6 +187,69 @@ def test_pair_shuffle_partition_resume(ray_session, fixture_dir, tmp_path):
     assert sorted(man_b["resumed_parts"]) == done_parts
 
 
+def test_pair_shuffle_resume_after_sigkill(ray_session, fixture_dir, tmp_path):
+    """Hard-kill (SIGKILL) a separate process mid-pair-write, then resume
+    in this session: finished parts are reused and the final clusters
+    byte-match an uninterrupted run."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    cfg = EngineConfig()
+    tr = fixture_dir["transcripts"]
+
+    fresh = resolve_entities_checkpointed(
+        tr, cfg, str(tmp_path / "runK_fresh"), pair_resume_buckets=6
+    ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+
+    ck_dir = tmp_path / "runK"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = f"""
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import sys
+sys.path.insert(0, {repr(repo_root)})
+from semanticizer_ray.config import EngineConfig
+from semanticizer_ray.pipelines.entity_resolution import resolve_entities_checkpointed
+resolve_entities_checkpointed(
+    {repr(str(tr))}, EngineConfig(), {repr(str(ck_dir))}, pair_resume_buckets=6
+)
+"""
+    proc = subprocess.Popen([sys.executable, "-c", script])
+    parts_dir = ck_dir / "pairs" / "parts"
+    deadline = time.time() + 180
+    killed = False
+    while time.time() < deadline and proc.poll() is None:
+        done = (
+            [d for d in os.listdir(parts_dir) if not d.startswith(".tmp-")]
+            if parts_dir.exists()
+            else []
+        )
+        if len(done) >= 2:  # mid-stage: some parts written, some not
+            proc.send_signal(signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(0.5)
+    proc.wait(timeout=60)
+    assert killed, "subprocess finished before the kill window (raise buckets?)"
+    assert not (ck_dir / "pairs" / "MANIFEST.json").exists()
+
+    survivors = sorted(
+        d for d in os.listdir(parts_dir) if not d.startswith(".tmp-")
+    )
+    assert survivors  # something real survived the kill
+    resumed = resolve_entities_checkpointed(
+        tr, cfg, str(ck_dir), pair_resume_buckets=6
+    ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fresh, resumed)
+    man = json.load(open(ck_dir / "pairs" / "MANIFEST.json"))
+    # per-part renames are atomic, so exactly the survivors were reused
+    assert sorted(man["resumed_parts"]) == survivors
+
+
 def test_no_tmp_litter_on_success(ray_session, fixture_dir, tmp_path):
     cfg = EngineConfig()
     resolve_entities_checkpointed(
