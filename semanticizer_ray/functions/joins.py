@@ -16,8 +16,9 @@ partitions and mixed block types inside composed plans (see
 core instead.
 
 Semantics: ``how`` ∈ {inner, left, semi, anti}. ``left`` keeps unmatched
-probe rows (build columns null — note the pandas int→float widening on
-null-bearing columns); semi/anti emit probe columns only. Key columns must
+probe rows (build columns null; source Arrow types are restored on exit,
+so ints stay ints with nulls); semi/anti emit probe columns only. Key
+columns must
 share names on both sides (rename upstream); non-key column names must not
 collide.
 """
@@ -95,8 +96,18 @@ def _sort_merge_join(
     rschema = right.schema(fetch_if_missing=True)
     if lschema is None or rschema is None:
         raise ValueError("join: cannot resolve input schemas")
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
+
+    def _pa_type(t) -> pa.DataType:
+        # pandas-block datasets report numpy dtypes, not Arrow types
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()  # object columns: strings by convention
+
+    ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
     for k in keys:
         if k not in ltypes or k not in rtypes:
             raise ValueError(f"join: key column {k!r} missing from an input")
@@ -126,15 +137,28 @@ def _sort_merge_join(
     rt = right.map_batches(tag("r", rcols, lcols, ltypes), batch_format="pyarrow")
     out_cols = keys + lcols + (rcols if how in ("inner", "left") else [])
 
-    def join_block(df: pd.DataFrame) -> pd.DataFrame:
+    out_schema = pa.schema(
+        [(c, ltypes[c] if c in ltypes else rtypes[c]) for c in out_cols]
+    )
+
+    def _restore_types(out: pd.DataFrame) -> pa.Table:
+        """The tagged union widens int columns to float (nulls in the
+        other side's slots); cast back to the source Arrow types on exit.
+        NaN → null for left-join build columns."""
+        try:
+            return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    def join_block(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
-            return df.reindex(columns=out_cols)
+            return out_schema.empty_table()
         lp = df.loc[df["__side"] == "l", keys + lcols]
         rp = df.loc[df["__side"] == "r", keys + rcols]
         if how in ("inner", "left"):
-            return lp.merge(rp, on=keys, how=how)[out_cols]
+            return _restore_types(lp.merge(rp, on=keys, how=how)[out_cols])
         hit = lp.merge(rp[keys].drop_duplicates(), on=keys, how="left", indicator=True)
         mask = (hit["_merge"] == "both").to_numpy()
-        return lp[mask if how == "semi" else ~mask]
+        return _restore_types(lp[mask if how == "semi" else ~mask][out_cols])
 
     return sorted_apply_exact(lt.union(rt), keys, join_block)

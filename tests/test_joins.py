@@ -73,6 +73,35 @@ def test_join_multi_key(sides, ray_session):
         pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
 
 
+def test_join_sort_merge_hot_key(ray_session):
+    """A heavily skewed key (80% of the probe side, straddling many blocks)
+    still joins exactly on the forced sort-merge plan — the straddling
+    group routes through the boundary remainder."""
+    import numpy as np
+    import ray.data as rd
+
+    from semanticizer_ray.functions.joins import join
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.8, 7, rng.integers(0, 50, size=n))
+    left = pd.DataFrame({"k": keys, "v": np.arange(n)})
+    right = pd.DataFrame({"k": np.arange(50), "name": [f"n{i}" for i in range(50)]})
+    got = (
+        join(
+            rd.from_pandas(left).repartition(16),
+            rd.from_pandas(right).repartition(4),
+            on="k",
+            broadcast_gate=0,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = left.merge(right, on="k").sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v", "name"]], want[["k", "v", "name"]])
+
+
 def test_join_rejects_column_collision(sides, ray_session):
     import ray.data as rd
 
