@@ -23,7 +23,6 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..config import EngineConfig
-from ..functions.groupagg import grouped_count
 from ..functions.minhash import band_hashes
 
 

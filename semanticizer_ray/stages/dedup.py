@@ -29,7 +29,7 @@ import ray.data as rd
 
 from ..config import EngineConfig
 from ..functions.groupagg import group_starts, sorted_apply_exact, sorted_grouped_agg
-from ..functions.minhash import band_hashes, estimate_jaccard, hash_params, minhash_signature
+from ..functions.minhash import band_hashes, hash_params, minhash_signature
 
 
 def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:

@@ -34,7 +34,6 @@ partitions inside composed plans).
 
 from __future__ import annotations
 
-from typing import Any
 
 import numpy as np
 import pandas as pd

@@ -19,7 +19,6 @@ import re
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data as rd
 
 _WS_TOKEN = re.compile(r"\S+")
