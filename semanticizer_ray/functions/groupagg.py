@@ -35,6 +35,11 @@ import pandas as pd
 import ray.data as rd
 
 
+# boundary-remainder rows at or below this count apply on the driver
+# (one tiny pull; the rows are ≤ 2 bounded groups per block by contract)
+REMAINDER_DRIVER_GATE = 200_000
+
+
 def _keys_list(key: str | list[str]) -> list[str]:
     return [key] if isinstance(key, str) else list(key)
 
@@ -96,18 +101,33 @@ def _split_apply(
     out_interior = sorted_ds.map_batches(
         interior, batch_format="pandas", batch_size=None
     )
-    # Boundary remainder: all straddling-key rows coalesce into ONE small
-    # task. CONTRACT: callers bound group size (salting / caps — SURVEY.md
-    # §4 skew row), so the remainder holds ≤ 2 bounded groups per input
-    # block — tiny relative to the dataset, and one task is the cheapest
-    # fixed cost (repartition(1) + local sort). Routing it through
-    # groupby().map_groups instead was measured at +~8 s fixed per call
-    # (and ~107 s across the ER pipeline at sf0.1) — never do that. An
-    # UNBOUNDED straddling group would serialize here; that is the caller's
-    # bug, not this operator's.
+    # Boundary remainder: all straddling-key rows process together.
+    # CONTRACT: callers bound group size (salting / caps — SURVEY.md §4
+    # skew row), so the remainder holds ≤ 2 bounded groups per input
+    # block — tiny relative to the dataset. Below the count gate it
+    # applies ON THE DRIVER (one pull of the tiny frame + one local fn
+    # call — saves the ~5 s repartition+sort+map fixed cost PER grouped
+    # op); above the gate it coalesces into one distributed task.
+    # Routing it through groupby().map_groups instead was measured at
+    # +~8 s fixed per call (~107 s across the ER pipeline at sf0.1) —
+    # never do that. An UNBOUNDED straddling group would serialize here;
+    # that is the caller's bug, not this operator's.
+    rem_src = sorted_ds.map_batches(
+        boundary_rows, batch_format="pandas", batch_size=None
+    ).materialize()
+    if rem_src.count() <= REMAINDER_DRIVER_GATE:
+        import pyarrow as _pa
+
+        pdf = rem_src.to_pandas()
+        out = fn(pdf.sort_values(keys, kind="stable")) if len(pdf) else fn(pdf)
+        if len(out) == 0:
+            return out_interior
+        rem = (
+            rd.from_arrow(out) if isinstance(out, _pa.Table) else rd.from_pandas(out)
+        )
+        return out_interior.union(rem)
     rem = (
-        sorted_ds.map_batches(boundary_rows, batch_format="pandas", batch_size=None)
-        .repartition(1)
+        rem_src.repartition(1)
         .sort(keys)
         .map_batches(fn, batch_format="pandas", batch_size=None)
     )
