@@ -33,7 +33,13 @@ from ..functions.minhash import band_hashes, hash_params, minhash_signature
 
 
 def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
-    """Keep the min-id row per distinct text. Output: (id_col, text_col)."""
+    """Keep the min-id row per distinct text. Output: (id_col, text_col).
+
+    Scale shape: the hash-keyed exchange moves (hash, id) ONLY — at corpus
+    scale the text never rides the shuffle; winners come back as a
+    count-gated semi-join (broadcast of winner ids under the row gate,
+    sort-merge above it) against the pruned original columns."""
+    from ..functions.joins import join
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = [
@@ -41,24 +47,23 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") 
             for t in batch[text_col].to_pylist()
         ]
         return pa.table(
-            {
-                "h": pa.array(hashes, pa.string()),
-                id_col: batch[id_col],
-                text_col: batch[text_col],
-            }
+            {"h": pa.array(hashes, pa.string()), id_col: batch[id_col]}
         )
 
     def keep_min(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return df
-        out = df.loc[df.groupby("h", sort=False)[id_col].idxmin()]
-        return out
+        return df.groupby("h", sort=False)[id_col].min().reset_index()
 
-    out = sorted_grouped_agg(
-        ds.map_batches(add_hash, batch_format="pyarrow"), "h", keep_min
-    )
-    return out.map_batches(
-        lambda df: df[[id_col, text_col]], batch_format="pandas"
+    winners = sorted_grouped_agg(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        "h",
+        keep_min,
+        driver_gate=100_000,
+    ).map_batches(lambda df: df[[id_col]], batch_format="pandas")
+
+    return join(
+        ds.select_columns([id_col, text_col]), winners, on=id_col, how="semi"
     )
 
 
