@@ -177,17 +177,24 @@ def orders_by_nation(sf_dir: str) -> pd.DataFrame:
     cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
     small = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    lookup_ref = ray.put(dict(zip(small["c_custkey"], small["n_name"])))
+    keys = np.sort(small["c_custkey"].to_numpy())
+    order = np.argsort(small["c_custkey"].to_numpy())
+    names = small["n_name"].to_numpy()[order]
+    lookup_ref = ray.put((keys, names))
 
     ds = read_table(_p(sf_dir, "orders"), columns=["o_custkey"])
 
     class Attach:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            self.keys, self.names = ray.get(lookup_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.lookup.get(c) for c in t["o_custkey"].to_pylist()]
-            return pa.table({"n_name": pa.array(names, pa.string())})
+            # vectorized lookup (searchsorted over the sorted key array)
+            ck = t["o_custkey"].to_numpy()
+            pos = np.minimum(np.searchsorted(self.keys, ck), len(self.keys) - 1)
+            hit = self.keys[pos] == ck
+            out = np.where(hit, self.names[pos], None)
+            return pa.table({"n_name": pa.array(out, pa.string())})
 
     out = (
         ds.map_batches(Attach, batch_format="pyarrow", concurrency=(1, 4))

@@ -21,7 +21,11 @@ canonical cluster ids = min conv_id in the component:
 Round complexity is O(graph diameter) — after local contraction, real
 duplicate clusters (small, dense) converge in 1–2 rounds; ``max_rounds``
 bounds pathological chains. Each round materializes only the label table
-(one short row per node), never the edges.
+(one short row per node), never the edges. Known cost: each round
+re-sorts sym ∪ labels (Ray Data has no co-partitioned iteration
+primitive to pin sym's partitioning across rounds); edges after
+contraction are one short row per node per batch, so the re-sorted
+volume is label-table-sized, not edge-table-sized.
 
 A pure-Python ``unionfind_reference`` provides the oracle for tests
 (SURVEY.md §5.4 property tests) and for provably tiny edge sets.
