@@ -36,4 +36,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # er_quality's oracle re-clusters the engine's scored match edges from a
+    # Parquet artifact; make sure it exists even if the driver evaluates the
+    # oracle before the Ray query (idempotent, sf0.001-scale)
+    from semanticizer_ray.pipelines.catalog import ensure_er_quality_artifacts
+
+    ensure_er_quality_artifacts()
     return {name: sql for name, (_fn, sql) in CATALOG.items() if sql is not None}

@@ -15,12 +15,18 @@ partitions and mixed block types inside composed plans (see
 ``functions/groupagg.py``); this operator reuses the engine's own shuffle
 core instead.
 
-Semantics: ``how`` ∈ {inner, left, semi, anti}. ``left`` keeps unmatched
-probe rows (build columns null; source Arrow types are restored on exit,
-so ints stay ints with nulls); semi/anti emit probe columns only. Key
-columns must
-share names on both sides (rename upstream); non-key column names must not
-collide.
+Semantics: ``how`` ∈ {inner, left, right, full, semi, anti}. ``left`` keeps
+unmatched probe rows (build columns null), ``right`` keeps unmatched build
+rows, ``full`` keeps both; on every plan the output is cast back to the
+source Arrow types (ints stay ints with nulls — the pandas merge widens
+them to float64 and the cast restores them; a cast that cannot round-trip
+raises instead of silently emitting a differently-typed block, which would
+recreate the ray-2.49 mixed-block hazard downstream). semi/anti emit probe
+columns only, dtypes untouched. ``right``/``full`` always take the
+sort-merge plan: a per-batch broadcast merge cannot know whether a build
+row matched in some OTHER probe batch, so unmatched-build emission is only
+well-defined over complete key groups. Key columns must share names on
+both sides (rename upstream); non-key column names must not collide.
 """
 
 from __future__ import annotations
@@ -31,11 +37,69 @@ import ray.data as rd
 
 from .groupagg import sorted_apply_exact
 
-_HOW = ("inner", "left", "semi", "anti")
+_HOW = ("inner", "left", "right", "full", "semi", "anti")
+# pandas merge spells full outer "outer"
+_PD_HOW = {"inner": "inner", "left": "left", "right": "right", "full": "outer"}
 
 
 def _keys(on) -> list[str]:
     return [on] if isinstance(on, str) else list(on)
+
+
+def _pa_type(t) -> pa.DataType:
+    # pandas-block datasets report numpy dtypes, not Arrow types
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.string()  # object columns: strings by convention
+
+
+def _plan_schemas(
+    left: rd.Dataset, right: rd.Dataset, keys: list[str], how: str
+) -> tuple[dict, dict, list[str], list[str], pa.Schema]:
+    """Resolve both sides' Arrow types and the joined output schema."""
+    lschema = left.schema(fetch_if_missing=True)
+    rschema = right.schema(fetch_if_missing=True)
+    if lschema is None or rschema is None:
+        raise ValueError("join: cannot resolve input schemas")
+    ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
+    for k in keys:
+        if k not in ltypes or k not in rtypes:
+            raise ValueError(f"join: key column {k!r} missing from an input")
+    lcols = [c for c in lschema.names if c not in keys]
+    rcols = [c for c in rschema.names if c not in keys]
+    clash = set(lcols) & set(rcols)
+    if clash:
+        raise ValueError(f"join: non-key column name collision: {sorted(clash)}")
+    out_cols = keys + lcols + (rcols if how in ("inner", "left", "right", "full") else [])
+    out_schema = pa.schema(
+        [(c, ltypes[c] if c in ltypes else rtypes[c]) for c in out_cols]
+    )
+    return ltypes, rtypes, lcols, rcols, out_schema
+
+
+def _restore_types(out: pd.DataFrame, out_schema: pa.Schema) -> pa.Table:
+    """The pandas merge widens int columns to float64 (nulls in unmatched
+    slots); cast back to the source Arrow types on exit. NaN → null. A
+    column that cannot round-trip raises with its name — silently emitting
+    an inferred (differently-typed) block would surface later as a
+    mixed-schema union error far from the cause."""
+    try:
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        bad: list[str] = []
+        for field in out_schema:
+            try:
+                pa.array(out[field.name], type=field.type, from_pandas=True)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                bad.append(f"{field.name} (expected {field.type})")
+        raise ValueError(
+            "join: output columns cannot be cast back to their source Arrow "
+            f"types: {bad or ['<unknown>']} — upstream schema drift?"
+        )
 
 
 def join(
@@ -54,6 +118,10 @@ def join(
     if how not in _HOW:
         raise ValueError(f"join: how must be one of {_HOW}")
     keys = _keys(on)
+    if how in ("right", "full"):
+        # unmatched-build emission needs complete key groups (see module
+        # docstring) — the broadcast plan is per-probe-batch, so skip it
+        return _sort_merge_join(left, right, keys, how)
     if right_count is None:
         # pin the build side before counting: a lazy right (often itself a
         # join output) would otherwise execute once for the count and again
@@ -72,16 +140,22 @@ def _broadcast_join(
 ) -> rd.Dataset:
     import ray
 
+    out_schema = None
+    if how in ("inner", "left"):
+        _lt, _rt, _lc, _rc, out_schema = _plan_schemas(left, right, keys, how)
     rdf = right.to_pandas()
     if rdf.empty and not len(rdf.columns):  # empty datasets lose their schema
         names = right.schema(fetch_if_missing=True)
         rdf = pd.DataFrame({c: [] for c in (names.names if names else keys)})
     ref = ray.put(rdf)
 
-    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+    def probe(batch: pd.DataFrame):
         r = ray.get(ref)
         if how in ("inner", "left"):
-            return batch.merge(r, on=keys, how=how)
+            merged = batch.merge(r, on=keys, how=how)
+            # same dtype restore as the sort-merge plan, so the physical
+            # plan never changes output dtypes (ADVICE r2)
+            return _restore_types(merged[out_schema.names], out_schema)
         hit = batch.merge(r[keys].drop_duplicates(), on=keys, how="left", indicator=True)
         mask = (hit["_merge"] == "both").to_numpy()
         return batch[mask if how == "semi" else ~mask]
@@ -92,30 +166,8 @@ def _broadcast_join(
 def _sort_merge_join(
     left: rd.Dataset, right: rd.Dataset, keys: list[str], how: str
 ) -> rd.Dataset:
-    lschema = left.schema(fetch_if_missing=True)
-    rschema = right.schema(fetch_if_missing=True)
-    if lschema is None or rschema is None:
-        raise ValueError("join: cannot resolve input schemas")
-
-    def _pa_type(t) -> pa.DataType:
-        # pandas-block datasets report numpy dtypes, not Arrow types
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, TypeError):
-            return pa.string()  # object columns: strings by convention
-
-    ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
-    rtypes = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
-    for k in keys:
-        if k not in ltypes or k not in rtypes:
-            raise ValueError(f"join: key column {k!r} missing from an input")
-    lcols = [c for c in lschema.names if c not in keys]
-    rcols = [c for c in rschema.names if c not in keys]
-    clash = set(lcols) & set(rcols)
-    if clash:
-        raise ValueError(f"join: non-key column name collision: {sorted(clash)}")
+    ltypes, rtypes, lcols, rcols, out_schema = _plan_schemas(left, right, keys, how)
+    out_cols = out_schema.names
 
     def tag(side: str, own: list[str], other: list[str], other_types) -> "callable":
         def f(batch: pa.Table) -> pa.Table:
@@ -135,30 +187,18 @@ def _sort_merge_join(
     # both sides mapped into the SAME unified schema, then one sort
     lt = left.map_batches(tag("l", lcols, rcols, rtypes), batch_format="pyarrow")
     rt = right.map_batches(tag("r", rcols, lcols, ltypes), batch_format="pyarrow")
-    out_cols = keys + lcols + (rcols if how in ("inner", "left") else [])
-
-    out_schema = pa.schema(
-        [(c, ltypes[c] if c in ltypes else rtypes[c]) for c in out_cols]
-    )
-
-    def _restore_types(out: pd.DataFrame) -> pa.Table:
-        """The tagged union widens int columns to float (nulls in the
-        other side's slots); cast back to the source Arrow types on exit.
-        NaN → null for left-join build columns."""
-        try:
-            return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
-        except (pa.ArrowInvalid, pa.ArrowTypeError):
-            return pa.Table.from_pandas(out, preserve_index=False)
 
     def join_block(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
             return out_schema.empty_table()
         lp = df.loc[df["__side"] == "l", keys + lcols]
         rp = df.loc[df["__side"] == "r", keys + rcols]
-        if how in ("inner", "left"):
-            return _restore_types(lp.merge(rp, on=keys, how=how)[out_cols])
+        if how in _PD_HOW:
+            return _restore_types(
+                lp.merge(rp, on=keys, how=_PD_HOW[how])[out_cols], out_schema
+            )
         hit = lp.merge(rp[keys].drop_duplicates(), on=keys, how="left", indicator=True)
         mask = (hit["_merge"] == "both").to_numpy()
-        return _restore_types(lp[mask if how == "semi" else ~mask][out_cols])
+        return _restore_types(lp[mask if how == "semi" else ~mask][out_cols], out_schema)
 
     return sorted_apply_exact(lt.union(rt), keys, join_block)

@@ -167,39 +167,25 @@ FROM lineitem GROUP BY l_orderkey ORDER BY sum(l_extendedprice * (1 - l_discount
 
 
 def orders_by_nation(sf_dir: str) -> pd.DataFrame:
-    """Broadcast join chain: orders ⋈ customer ⋈ nation → count per nation.
+    """orders ⋈ customer ⋈ nation → count per nation, every hop through the
+    gated ``join`` operator (same pattern as ``revenue_by_nation``): nation
+    is a true dimension (broadcast plan), but customer is fact-proportional
+    in TPC-H, so the orders ⋈ customer hop flips to the distributed
+    sort-merge plan automatically past the row gate — no driver collect of
+    customer at any scale (r2 verdict fix)."""
+    from ..functions.groupagg import grouped_count
+    from ..functions.joins import join
 
-    customer/nation are the small sides (``ray.put`` once, pandas merge per
-    batch) — no shuffle join; the only exchange is the final tiny groupby.
-    """
-    import pyarrow.parquet as pq
+    nation = read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust = read_table(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).rename_columns({"c_nationkey": "n_nationkey", "c_custkey": "o_custkey"})
+    cust_n = join(cust, nation, on="n_nationkey").select_columns(["o_custkey", "n_name"])
 
-    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
-    small = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    keys = np.sort(small["c_custkey"].to_numpy())
-    order = np.argsort(small["c_custkey"].to_numpy())
-    names = small["n_name"].to_numpy()[order]
-    lookup_ref = ray.put((keys, names))
-
-    ds = read_table(_p(sf_dir, "orders"), columns=["o_custkey"])
-
-    class Attach:
-        def __init__(self):
-            self.keys, self.names = ray.get(lookup_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            # vectorized lookup (searchsorted over the sorted key array)
-            ck = t["o_custkey"].to_numpy()
-            pos = np.minimum(np.searchsorted(self.keys, ck), len(self.keys) - 1)
-            hit = self.keys[pos] == ck
-            out = np.where(hit, self.names[pos], None)
-            return pa.table({"n_name": pa.array(out, pa.string())})
-
+    orders = read_table(_p(sf_dir, "orders"), columns=["o_custkey"])
+    joined = join(orders, cust_n, on="o_custkey").select_columns(["n_name"])
     out = (
-        ds.map_batches(Attach, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("n_name")
-        .aggregate(Count(alias_name="n_orders"))
+        grouped_count(joined, "n_name", out_col="n_orders", driver_gate=100_000)
         .to_pandas()
         .sort_values("n_name")
         .reset_index(drop=True)
@@ -559,10 +545,15 @@ def components_supplier_part(sf_dir: str) -> pd.DataFrame:
     ds = read_table(_p(sf_dir, "lineitem"), columns=["l_suppkey", "l_partkey"])
 
     def to_edges(t: pa.Table) -> pa.Table:
+        # vectorized relabel: 's'/'p' prefix + zero-pad, no per-row Python
+        def tag(prefix: str, col) -> pa.Array:
+            padded = pc.utf8_lpad(pc.cast(col, pa.string()), 8, "0")
+            return pc.binary_join_element_wise(prefix, padded, "")
+
         return pa.table(
             {
-                "conv_a": pa.array([f"s{v:08d}" for v in t["l_suppkey"].to_pylist()]),
-                "conv_b": pa.array([f"p{v:08d}" for v in t["l_partkey"].to_pylist()]),
+                "conv_a": tag("s", t["l_suppkey"]),
+                "conv_b": tag("p", t["l_partkey"]),
             }
         )
 
@@ -689,22 +680,17 @@ ORDER BY e.event_id
 
 
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """Anti join via broadcast key set (SURVEY.md J6)."""
-    import pyarrow.parquet as pq
+    """Anti join (SURVEY.md J6) through the gated ``join`` operator: the
+    orders key set broadcasts below the row gate and takes the distributed
+    sort-merge anti plan above it — no driver-side Python key set, no
+    per-row membership loop (r2 verdict fix)."""
+    from ..functions.joins import join
 
-    have = set(
-        pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey"])["o_custkey"]
-        .to_pylist()
+    orders_keys = read_table(_p(sf_dir, "orders"), columns=["o_custkey"]).rename_columns(
+        {"o_custkey": "c_custkey"}
     )
-    have_ref = ray.put(have)
-    ds = read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
-
-    def anti(batch: pa.Table) -> pa.Table:
-        keys = ray.get(have_ref)
-        mask = [k not in keys for k in batch["c_custkey"].to_pylist()]
-        return batch.filter(pa.array(mask))
-
-    out = ds.map_batches(anti, batch_format="pyarrow").to_pandas()
+    cust = read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    out = join(cust, orders_keys, on="c_custkey", how="anti").to_pandas()
     if out.empty:  # empty Dataset.to_pandas loses schema
         out = pd.DataFrame(
             {"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype="str")}
@@ -715,6 +701,46 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
 ANTI_JOIN_SQL = """
 SELECT c_custkey, c_name FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def orders_customer_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join through the general ``join`` operator (J2): even-key
+    customers FULL OUTER per-customer order counts over div-3 keys, so both
+    sides contribute unmatched rows (probe-only, build-only, and matched).
+    Always the sort-merge plan (unmatched-build emission needs complete key
+    groups); int columns stay int64-with-nulls via the schema restore."""
+    from ..functions.groupagg import grouped_count
+    from ..functions.joins import join
+
+    def _mod_eq0(col, m: int):
+        # col % m == 0 (pyarrow 16 has no mod kernel; col is non-negative)
+        q = pc.divide(col, pa.scalar(m, pa.int64()))
+        return pc.equal(col, pc.multiply(q, pa.scalar(m, pa.int64())))
+
+    cust = read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"]).map_batches(
+        lambda t: t.filter(_mod_eq0(t["c_custkey"], 2)), batch_format="pyarrow"
+    )
+    orders = read_table(_p(sf_dir, "orders"), columns=["o_custkey"]).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t["o_custkey"].filter(_mod_eq0(t["o_custkey"], 3))}
+        ),
+        batch_format="pyarrow",
+    )
+    counts = grouped_count(orders, "c_custkey", out_col="n_orders", driver_gate=100_000)
+    out = join(cust, counts, on="c_custkey", how="full").to_pandas()
+    return out[["c_custkey", "c_name", "n_orders"]].sort_values(
+        "c_custkey"
+    ).reset_index(drop=True)
+
+
+ORDERS_CUSTOMER_OUTER_SQL = """
+SELECT c_custkey, c_name, n_orders
+FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0) c
+FULL JOIN (SELECT o_custkey AS c_custkey, count(*) AS n_orders
+           FROM orders WHERE o_custkey % 3 = 0 GROUP BY 1) o
+USING (c_custkey)
 ORDER BY c_custkey
 """
 
@@ -839,6 +865,147 @@ def er_clusters_scatter(sf_dir: str) -> pd.DataFrame:
     return res.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
 
 
+# --- ER-quality gate (r2 verdict #5): pairwise P/R/F1 vs planted truth ---
+
+_ERQ_NCONVS = 200  # sf0.001-scale, fixed: the oracle's recursive CTE stays cheap
+_ERQ_DIR = f"/tmp/semanticizer_ray_fixtures/erq_n{_ERQ_NCONVS}"
+_ERQ_EDGES = os.path.join(_ERQ_DIR, "er_match_edges.parquet")
+
+
+def _erq_fixture_dir() -> str:
+    marker = os.path.join(_ERQ_DIR, "transcripts.parquet")
+    if not os.path.exists(marker):
+        from ..gen import write_fixture_set
+
+        write_fixture_set(_ERQ_DIR, n_convs=_ERQ_NCONVS, seed=42)
+    return _ERQ_DIR
+
+
+def _erq_run() -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Run the flagship pipeline on the fixed ER-quality fixture; returns
+    (clusters, match_edges) and lands the match edges as a Parquet artifact
+    beside the fixture (atomic replace) for the DuckDB oracle to re-cluster
+    independently."""
+    import pyarrow.parquet as pq
+
+    from .entity_resolution import resolve_entities
+
+    fx = _erq_fixture_dir()
+    cfg = EngineConfig()
+    dict_table = _anchor_dict_table(fx, cfg)
+    rel_state = _relatedness_state(fx, cfg, dict_table)
+    transcripts = rd.read_parquet(os.path.join(fx, "transcripts.parquet"))
+    res = resolve_entities(
+        transcripts, cfg, anchor_dict_source=dict_table, relatedness=rel_state
+    )
+    edges = res.edges.to_pandas()
+    match = (
+        edges.loc[edges["is_match"], ["conv_a", "conv_b"]]
+        .sort_values(["conv_a", "conv_b"])
+        .reset_index(drop=True)
+    )
+    tmp = _ERQ_EDGES + ".tmp"
+    pq.write_table(pa.Table.from_pandas(match, preserve_index=False), tmp)
+    os.replace(tmp, _ERQ_EDGES)
+    clusters = res.clusters.to_pandas()
+    return clusters, match
+
+
+def ensure_er_quality_artifacts() -> None:
+    """Idempotent: make sure the fixture + match-edges artifact exist so the
+    ER-quality oracle SQL can run regardless of driver evaluation order."""
+    _erq_fixture_dir()
+    if not os.path.exists(_ERQ_EDGES):
+        _erq_run()
+
+
+def er_quality(sf_dir: str) -> pd.DataFrame:
+    """Driver-visible ER-quality gate: pairwise precision/recall/F1 of the
+    flagship clusters vs the generator's PLANTED truth, on a fixed
+    sf0.001-scale fixture. Pair counts come from group sizes (exact over all
+    C(n,2) pairs, O(n) math). The DuckDB oracle re-derives the clusters
+    INDEPENDENTLY from the engine's scored match edges (recursive-CTE
+    connected components — verifying T9 + the metric math; scorer parity vs
+    a brute-force driver oracle is asserted in tests/test_e2e.py) and
+    recomputes identical metrics from the same planted truth.
+
+    BASELINE.json bar: pairwise F1 ≥ 0.99; the hash gate pins the exact
+    measured value."""
+    import pyarrow.parquet as pq
+
+    clusters, _match = _erq_run()
+    truth = pq.read_table(os.path.join(_ERQ_DIR, "clusters_truth.parquet")).to_pandas()
+    df = clusters.merge(truth, on="conv_id", suffixes=("_pred", "_true"))
+
+    def npairs(sizes: pd.Series) -> int:
+        return int((sizes * (sizes - 1) // 2).sum())
+
+    pred_pairs = npairs(df.groupby("cluster_id_pred").size())
+    true_pairs = npairs(df.groupby("cluster_id_true").size())
+    tp_pairs = npairs(df.groupby(["cluster_id_pred", "cluster_id_true"]).size())
+    precision = 1.0 if pred_pairs == 0 else tp_pairs / pred_pairs
+    recall = 1.0 if true_pairs == 0 else tp_pairs / true_pairs
+    denom = pred_pairs + true_pairs
+    f1 = 1.0 if denom == 0 else 2.0 * tp_pairs / denom
+    return pd.DataFrame(
+        {
+            "n_convs": pd.Series([len(df)], dtype="int64"),
+            "n_clusters": pd.Series([df["cluster_id_pred"].nunique()], dtype="int64"),
+            "pred_pairs": pd.Series([pred_pairs], dtype="int64"),
+            "true_pairs": pd.Series([true_pairs], dtype="int64"),
+            "tp_pairs": pd.Series([tp_pairs], dtype="int64"),
+            "precision_pairs": [round(precision, 6)],
+            "recall_pairs": [round(recall, 6)],
+            "f1_pairs": [round(f1, 6)],
+        }
+    )
+
+
+ER_QUALITY_SQL = f"""
+WITH RECURSIVE
+truth AS (
+  SELECT conv_id, cluster_id AS true_cluster
+  FROM read_parquet('{_ERQ_DIR}/clusters_truth.parquet')
+),
+edges AS (
+  SELECT conv_a AS a, conv_b AS b FROM read_parquet('{_ERQ_EDGES}')
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+walk(node, label) AS (
+  SELECT conv_id, conv_id FROM truth
+  UNION
+  SELECT s.a, w.label FROM sym s JOIN walk w ON s.b = w.node WHERE w.label < s.a
+),
+comp AS (SELECT node AS conv_id, min(label) AS pred_cluster FROM walk GROUP BY node),
+j AS (
+  SELECT t.conv_id, c.pred_cluster, t.true_cluster
+  FROM truth t JOIN comp c USING (conv_id)
+),
+pred_g AS (SELECT pred_cluster, count(*) AS n FROM j GROUP BY 1),
+true_g AS (SELECT true_cluster, count(*) AS n FROM j GROUP BY 1),
+joint_g AS (SELECT pred_cluster, true_cluster, count(*) AS n FROM j GROUP BY 1, 2),
+m AS (
+  SELECT (SELECT count(*) FROM j) AS n_convs,
+         (SELECT count(*) FROM pred_g) AS n_clusters,
+         (SELECT coalesce(sum(n * (n - 1) // 2), 0) FROM pred_g) AS pred_pairs,
+         (SELECT coalesce(sum(n * (n - 1) // 2), 0) FROM true_g) AS true_pairs,
+         (SELECT coalesce(sum(n * (n - 1) // 2), 0) FROM joint_g) AS tp_pairs
+)
+SELECT CAST(n_convs AS BIGINT) AS n_convs,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(pred_pairs AS BIGINT) AS pred_pairs,
+       CAST(true_pairs AS BIGINT) AS true_pairs,
+       CAST(tp_pairs AS BIGINT) AS tp_pairs,
+       round(CASE WHEN pred_pairs = 0 THEN 1.0 ELSE tp_pairs / pred_pairs END, 6)
+         AS precision_pairs,
+       round(CASE WHEN true_pairs = 0 THEN 1.0 ELSE tp_pairs / true_pairs END, 6)
+         AS recall_pairs,
+       round(CASE WHEN pred_pairs + true_pairs = 0 THEN 1.0
+             ELSE 2.0 * tp_pairs / (pred_pairs + true_pairs) END, 6) AS f1_pairs
+FROM m
+"""
+
+
 def er_mentions(sf_dir: str) -> pd.DataFrame:
     """T3 anchor mention extraction on synthetic transcripts (rows-only)."""
     from ..stages.mentions import extract_mentions
@@ -855,11 +1022,24 @@ def er_mentions(sf_dir: str) -> pd.DataFrame:
 
 
 def minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """MinHash/LSH dedup in exact-verify mode: LSH candidate generation +
+    64-bit content-fingerprint pair verify. Identical texts share every
+    band bucket, so the verified components provably equal the exact-text
+    groups — which makes the full signature → banding → bucket shuffle →
+    clustering path SQL-oracle-checkable (the threshold-Jaccard near-dup
+    mode, which groups genuinely non-identical near-dups on this corpus,
+    stays covered by pytest parity/recall tests)."""
     from ..stages.dedup import minhash_dedup
 
     ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = minhash_dedup(ds, EngineConfig()).to_pandas()
+    out = minhash_dedup(ds, EngineConfig(), exact_verify=True).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+MINHASH_DEDUP_SQL = """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS dup_group
+FROM documents ORDER BY doc_id
+"""
 
 
 def simhash_docs(sf_dir: str) -> pd.DataFrame:
@@ -1041,6 +1221,7 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "events_running_totals": (events_running_totals, EVENTS_RUNNING_SQL),
     "events_asof_orders": (events_asof_orders, EVENTS_ASOF_SQL),
     "customers_without_orders": (customers_without_orders, ANTI_JOIN_SQL),
+    "orders_customer_outer": (orders_customer_outer, ORDERS_CUSTOMER_OUTER_SQL),
     "distinct_part_suppliers": (distinct_part_suppliers, DISTINCT_PS_SQL),
     # text / dedup / similarity — SQL where expressible
     "docs_by_lang": (docs_by_lang, DOCS_BY_LANG_SQL),
@@ -1051,8 +1232,11 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     # rows-only (non-SQL-expressible: sketches, models, actor state)
     "er_clusters": (er_clusters, None),
     "er_clusters_scatter": (er_clusters_scatter, None),
+    "er_quality": (er_quality, ER_QUALITY_SQL),
     "er_mentions": (er_mentions, None),
-    "minhash_dedup_docs": (minhash_dedup_docs, None),
+    # exact-verify mode: LSH candidates + content-fingerprint verify ≡ the
+    # exact-text GROUP BY (see minhash_dedup_docs docstring)
+    "minhash_dedup_docs": (minhash_dedup_docs, MINHASH_DEDUP_SQL),
     "simhash_docs": (simhash_docs, None),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_langid": (doc_langid, None),

@@ -147,8 +147,9 @@ def resolve_entities_checkpointed(
     # candidate_pairs pipeline (~7 s fixed), so by default small inputs use
     # fewer buckets (1 per ~10k conversations, capped at 8). Deterministic
     # in the input; a changed bucket count on resume is caught by the
-    # PENDING part_ids guard and rebuilds the stage. Pass
-    # ``pair_resume_buckets`` to pin the count explicitly.
+    # part_ids guard (PENDING for in-flight stages, manifest for completed
+    # ones) and rebuilds the stage. Pass ``pair_resume_buckets`` to pin the
+    # count explicitly.
     if pair_resume_buckets is None:
         n_buckets = max(1, min(8, prof.dataset.count() // 10_000))
     else:

@@ -173,6 +173,10 @@ class Checkpointer:
             man is not None
             and man.get("config_hash") == self.config_hash
             and man.get("input_fingerprint") == input_fingerprint
+            # a changed partitioning must invalidate a COMPLETED stage too,
+            # not just pending parts (ADVICE r2): the part set is part of
+            # the stage's identity
+            and man.get("part_ids") == list(part_ids)
         ):
             ds = rd.read_parquet(os.path.join(final, "parts"))
             return StageResult(
@@ -259,6 +263,7 @@ class Checkpointer:
             "rows": sum(m["rows"] for m in file_meta),
             "files": file_meta,
             "partitioned": True,
+            "part_ids": list(part_ids),
             "resumed_parts": sorted(done),
             "wall_sec": round(wall, 3),
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),

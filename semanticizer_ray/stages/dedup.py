@@ -31,6 +31,28 @@ from ..config import EngineConfig
 from ..functions.groupagg import group_starts, sorted_apply_exact, sorted_grouped_agg
 from ..functions.minhash import band_hashes, hash_params, minhash_signature
 
+# Int doc ids ride the string clustering machinery (T9) zero-padded so
+# lexicographic min == numeric min. 20 digits covers the full non-negative
+# int64 range (max 19 digits — 12 was not enough for ids ≥ 10^12, ADVICE
+# r2); negative ids are rejected (a "-" breaks the ordering invariant).
+_ID_PAD = 20
+
+
+def _ids_to_str(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized int64 → zero-padded string column."""
+    import pyarrow.compute as pc
+
+    if len(col) and pc.min(col).as_py() < 0:
+        raise ValueError("dedup: doc ids must be non-negative int64")
+    return pc.utf8_lpad(pc.cast(col, pa.string()), _ID_PAD, "0")
+
+
+def _str_to_ids(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized zero-padded string → int64 column."""
+    import pyarrow.compute as pc
+
+    return pc.cast(col, pa.int64())
+
 
 def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
     """Keep the min-id row per distinct text. Output: (id_col, text_col).
@@ -79,19 +101,26 @@ class _DocSignatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        out_id, out_key, out_sig = [], [], []
+        out_id, out_key, out_sig, out_content = [], [], [], []
         for i, t in zip(ids, texts):
             sig = minhash_signature(t or "", self.a, self.b, self.k)
             sb = sig.tobytes()
+            # 64-bit content fingerprint (same md5 basis as exact_dedup):
+            # rides each band row so exact-verify mode never ships text
+            ch = int.from_bytes(
+                hashlib.md5((t or "").encode("utf-8")).digest()[:8], "little", signed=True
+            )
             for band, h in enumerate(band_hashes(sig, self.bands)):
                 out_id.append(i)
                 out_key.append(f"{band}:{h:x}")
                 out_sig.append(sb)
+                out_content.append(ch)
         return pa.table(
             {
                 "doc": pa.array(out_id, pa.int64()),
                 "bucket": pa.array(out_key, pa.string()),
                 "sig": pa.array(out_sig, pa.binary()),
+                "content": pa.array(out_content, pa.int64()),
             }
         )
 
@@ -103,6 +132,7 @@ def minhash_dedup(
     text_col: str = "text",
     jaccard_threshold: float = 0.8,
     max_bucket: int = 256,
+    exact_verify: bool = False,
 ) -> rd.Dataset:
     """Near-dup clusters: (doc_id, dup_group) with dup_group = min doc id.
 
@@ -110,6 +140,14 @@ def minhash_dedup(
     in-group (estimated Jaccard on full signatures); oversized degenerate
     buckets are truncated at ``max_bucket`` members (counted, not silent —
     emitted as ``bucket_overflow`` on the pair rows).
+
+    ``exact_verify=True`` replaces the signature-Jaccard pair check with
+    64-bit content-fingerprint equality (same md5 basis as
+    ``exact_dedup``): identical texts always share every band bucket, so
+    the LSH candidates cover every exact-dup pair and the verified
+    components equal the exact-text groups — an SQL-checkable mode that
+    still exercises the full signature/LSH/cluster machinery (modulo
+    ``max_bucket`` truncation of degenerate >256-member buckets).
     """
     sig_rows = ds.map_batches(
         _DocSignatures,
@@ -126,22 +164,26 @@ def minhash_dedup(
             buckets = df["bucket"].to_numpy()
             ids = df["doc"].to_numpy()
             sig_col = df["sig"].to_numpy()
+            content = df["content"].to_numpy()
             starts = np.append(group_starts(buckets), len(df))
             for gi in range(len(starts) - 1):
                 lo, hi = starts[gi], starts[gi + 1]
                 over = max(0, (hi - lo) - max_bucket)
                 hi = min(hi, lo + max_bucket)
-                # full-signature Jaccard for every in-bucket pair, one matmul-free
-                # vectorized comparison per bucket
-                sigs = np.frombuffer(
-                    b"".join(sig_col[lo:hi]), dtype=np.uint64
-                ).reshape(hi - lo, -1)
                 n = hi - lo
                 if n < 2:
                     continue
                 iu, ju = np.triu_indices(n, k=1)
-                eq = (sigs[iu] == sigs[ju]).mean(axis=1)
-                keep = eq >= jaccard_threshold
+                if exact_verify:
+                    keep = content[lo + iu] == content[lo + ju]
+                else:
+                    # full-signature Jaccard for every in-bucket pair, one
+                    # matmul-free vectorized comparison per bucket
+                    sigs = np.frombuffer(
+                        b"".join(sig_col[lo:hi]), dtype=np.uint64
+                    ).reshape(n, -1)
+                    eq = (sigs[iu] == sigs[ju]).mean(axis=1)
+                    keep = eq >= jaccard_threshold
                 for i, j in zip(iu[keep], ju[keep]):
                     src.append(int(ids[lo + i]))
                     dst.append(int(ids[lo + j]))
@@ -160,17 +202,15 @@ def minhash_dedup(
     def to_str(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "conv_a": pa.array([f"{v:012d}" for v in batch["src"].to_pylist()]),
-                "conv_b": pa.array([f"{v:012d}" for v in batch["dst"].to_pylist()]),
+                "conv_a": _ids_to_str(batch["src"]),
+                "conv_b": _ids_to_str(batch["dst"]),
             }
         )
 
     from .clustering import cluster_edges
 
     all_nodes = ds.map_batches(
-        lambda t: pa.table(
-            {"conv_id": pa.array([f"{v:012d}" for v in t[id_col].to_pylist()])}
-        ),
+        lambda t: pa.table({"conv_id": _ids_to_str(t[id_col])}),
         batch_format="pyarrow",
     )
     comp = cluster_edges(edges.map_batches(to_str, batch_format="pyarrow"), all_nodes, cfg)
@@ -178,12 +218,8 @@ def minhash_dedup(
     def back_to_int(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                id_col: pa.array(
-                    [int(v) for v in batch["conv_id"].to_pylist()], pa.int64()
-                ),
-                "dup_group": pa.array(
-                    [int(v) for v in batch["cluster_id"].to_pylist()], pa.int64()
-                ),
+                id_col: _str_to_ids(batch["conv_id"]),
+                "dup_group": _str_to_ids(batch["cluster_id"]),
             }
         )
 
@@ -214,13 +250,15 @@ def simhash(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> r
         )
         offs = np.concatenate([[0], np.cumsum(lens)])
         out = np.zeros(n, dtype=np.uint64)
-        for i in range(n):
-            h = hv[offs[i] : offs[i + 1]]
-            if len(h) == 0:
-                continue
-            ones = ((h[:, None] >> _SH_SHIFTS) & np.uint64(1)).sum(axis=0)
-            val_bits = (2 * ones > len(h)).astype(np.uint64)
-            out[i] = (val_bits << _SH_SHIFTS).sum(dtype=np.uint64)
+        nz = np.flatnonzero(lens > 0)
+        if len(nz):
+            # per-doc bit votes in ONE reduceat over the flat (words, 64)
+            # bit matrix (empty docs are excluded, so consecutive reduceat
+            # offsets are strictly increasing and segments are exact)
+            bits = ((hv[:, None] >> _SH_SHIFTS) & np.uint64(1)).astype(np.int64)
+            ones = np.add.reduceat(bits, offs[nz], axis=0)  # (len(nz), 64)
+            val_bits = (2 * ones > lens[nz][:, None]).astype(np.uint64)
+            out[nz] = (val_bits << _SH_SHIFTS).sum(axis=1, dtype=np.uint64)
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -342,15 +380,13 @@ def simhash_dedup(
         def to_str(batch: pa.Table) -> pa.Table:
             return pa.table(
                 {
-                    "conv_a": pa.array([f"{v:012d}" for v in batch["src"].to_pylist()]),
-                    "conv_b": pa.array([f"{v:012d}" for v in batch["dst"].to_pylist()]),
+                    "conv_a": _ids_to_str(batch["src"]),
+                    "conv_b": _ids_to_str(batch["dst"]),
                 }
             )
 
         all_nodes = ds.map_batches(
-            lambda t: pa.table(
-                {"conv_id": pa.array([f"{v:012d}" for v in t[id_col].to_pylist()])}
-            ),
+            lambda t: pa.table({"conv_id": _ids_to_str(t[id_col])}),
             batch_format="pyarrow",
         )
         comp = cluster_edges(
@@ -361,12 +397,8 @@ def simhash_dedup(
         return comp.map_batches(
             lambda t: pa.table(
                 {
-                    id_col: pa.array(
-                        [int(v) for v in t["conv_id"].to_pylist()], pa.int64()
-                    ),
-                    "dup_group": pa.array(
-                        [int(v) for v in t["cluster_id"].to_pylist()], pa.int64()
-                    ),
+                    id_col: _str_to_ids(t["conv_id"]),
+                    "dup_group": _str_to_ids(t["cluster_id"]),
                 }
             ),
             batch_format="pyarrow",

@@ -419,10 +419,23 @@ def score_pairs_fused(
         rel_pack = _get_rel_pack(rel_ref)
         convs, sig_mat, heads, chars, a_hash, a_w = st
         n = batch.num_rows
-        # NOTE: an id wider than the side table's fixed-width S-dtype would
-        # be truncated by the cast and then caught by the equality check.
-        ca_arr = np.asarray(batch["conv_a"].to_pylist(), dtype=convs.dtype if len(convs) else "S1")
-        cb_arr = np.asarray(batch["conv_b"].to_pylist(), dtype=convs.dtype if len(convs) else "S1")
+        # Width guard BEFORE the fixed-width cast: a pair id longer than the
+        # side table's S-dtype would be truncated, and a truncation that
+        # happens to equal an existing id (prefix collision) would slip past
+        # the equality check below and score against the wrong profile
+        # (ADVICE r2). Natural-width first, then compare itemsize.
+        ca_nat = np.asarray(batch["conv_a"].to_pylist(), dtype="S")
+        cb_nat = np.asarray(batch["conv_b"].to_pylist(), dtype="S")
+        if n and len(convs):
+            width = convs.dtype.itemsize
+            if ca_nat.dtype.itemsize > width or cb_nat.dtype.itemsize > width:
+                raise ValueError(
+                    "score_pairs_fused: pair conv_id wider than the profile "
+                    f"side table's id width ({max(ca_nat.dtype.itemsize, cb_nat.dtype.itemsize)} > {width} bytes) "
+                    "— id set mismatch between pairs and profiles"
+                )
+        ca_arr = ca_nat.astype(convs.dtype) if len(convs) else ca_nat
+        cb_arr = cb_nat.astype(convs.dtype) if len(convs) else cb_nat
         ia = np.searchsorted(convs, ca_arr)
         ib = np.searchsorted(convs, cb_arr)
         if n:

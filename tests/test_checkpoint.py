@@ -137,6 +137,39 @@ def test_partitioned_stage_resumes_after_crash(ray_session, tmp_path):
     assert c3 == part_ids  # nothing reused across fingerprints
 
 
+def test_partitioned_stage_part_ids_change_invalidates(ray_session, tmp_path):
+    """ADVICE r2: a COMPLETED partitioned stage must rebuild when the part
+    set changes (e.g. pair_resume_buckets), same as a pending one — the
+    part set is part of the stage's identity."""
+    import ray.data as rd
+
+    cfg = EngineConfig()
+
+    def make_compute(calls: list):
+        def compute(pid: str) -> rd.Dataset:
+            calls.append(pid)
+            return rd.from_pandas(pd.DataFrame({"part": [pid], "v": [1]}))
+
+        return compute
+
+    ck = Checkpointer(str(tmp_path / "ck"), cfg)
+    c1: list = []
+    ck.partitioned_stage("s", "fp0", ["b0", "b1"], make_compute(c1))
+    assert c1 == ["b0", "b1"]
+
+    # same part set → full reuse
+    c2: list = []
+    r2 = ck.partitioned_stage("s", "fp0", ["b0", "b1"], make_compute(c2))
+    assert c2 == [] and r2.resumed
+
+    # changed part set, same config + fingerprint → rebuild, not reuse
+    c3: list = []
+    r3 = ck.partitioned_stage("s", "fp0", ["b0", "b1", "b2"], make_compute(c3))
+    assert c3 == ["b0", "b1", "b2"] and not r3.resumed
+    man = json.load(open(tmp_path / "ck" / "s" / "MANIFEST.json"))
+    assert man["part_ids"] == ["b0", "b1", "b2"]
+
+
 def test_pair_shuffle_partition_resume(ray_session, fixture_dir, tmp_path):
     """Kill during the pair shuffle (partial parts on disk, no manifest),
     resume, byte-compare final clusters to an uninterrupted run — the

@@ -55,6 +55,65 @@ def test_simhash_dedup_hamming_end_to_end(ray_session):
     assert grp[3] == 3
 
 
+def test_minhash_dedup_huge_ids_min_invariant(ray_session):
+    """ADVICE r2: ids ≥ 10^12 must still honor dup_group = NUMERIC min id
+    (the 20-digit zero-pad keeps lexicographic order == numeric order)."""
+    import ray.data as rd
+
+    from semanticizer_ray.stages.dedup import minhash_dedup, simhash_dedup
+    from semanticizer_ray.config import EngineConfig
+
+    # 999999999999 < 10^12 ≤ 8000000000000: a 12-digit pad would sort
+    # "8000000000000" (13 digits) before "999999999999" lexicographically
+    big, small = 8_000_000_000_000, 999_999_999_999
+    text = " ".join(f"tok{i}" for i in range(80))
+    docs = pd.DataFrame(
+        {"doc_id": [big, small, 7], "text": [text, text, "unrelated words here"]}
+    )
+    out = minhash_dedup(rd.from_pandas(docs), EngineConfig()).to_pandas()
+    grp = dict(zip(out["doc_id"], out["dup_group"]))
+    assert grp[big] == grp[small] == small
+    assert grp[7] == 7
+
+    out2 = simhash_dedup(rd.from_pandas(docs), hamming_k=3).to_pandas()
+    grp2 = dict(zip(out2["doc_id"], out2["dup_group"]))
+    assert grp2[big] == grp2[small] == small
+
+    with pytest.raises(Exception, match="non-negative"):
+        minhash_dedup(
+            rd.from_pandas(pd.DataFrame({"doc_id": [-1, 2], "text": [text, text]})),
+            EngineConfig(),
+        ).materialize()
+
+
+def test_minhash_exact_verify_equals_exact_groups(ray_session):
+    """exact_verify mode: LSH candidates + content-fingerprint verify must
+    reproduce the exact-text groups — near-dups (high Jaccard, unequal
+    text) must NOT group, exact dups must."""
+    import ray.data as rd
+
+    from semanticizer_ray.config import EngineConfig
+    from semanticizer_ray.stages.dedup import minhash_dedup
+
+    words = [f"tok{i}" for i in range(120)]
+    exact = " ".join(words)
+    near = " ".join(words[:-1] + ["CHANGED"])  # Jaccard ≈ 0.97, text ≠
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": [exact, exact, near, "something else"]}
+    )
+    ds = rd.from_pandas(docs)
+    cfg = EngineConfig()
+
+    near_mode = minhash_dedup(ds, cfg).to_pandas()
+    g = dict(zip(near_mode["doc_id"], near_mode["dup_group"]))
+    assert g[1] == g[2] == g[3] == 1  # threshold mode groups the near-dup
+
+    exact_mode = minhash_dedup(ds, cfg, exact_verify=True).to_pandas()
+    g = dict(zip(exact_mode["doc_id"], exact_mode["dup_group"]))
+    assert g[1] == g[2] == 1
+    assert g[3] == 3 and g[4] == 4  # near-dup stays out in exact mode
+
+
 def test_simhash_batch_invariance(ray_session):
     """Same docs at different batch sizes → identical simhash values."""
     import ray.data as rd

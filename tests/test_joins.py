@@ -102,6 +102,58 @@ def test_join_sort_merge_hot_key(ray_session):
     pd.testing.assert_frame_equal(got[["k", "v", "name"]], want[["k", "v", "name"]])
 
 
+@pytest.mark.parametrize("how", ["right", "full"])
+def test_join_outer_plans_match_pandas(sides, how):
+    """right/full keep unmatched build rows; always the sort-merge plan
+    (unmatched-build emission needs complete key groups), but the public
+    gate parameter must not change the answer."""
+    import ray.data as rd
+
+    left, right = sides
+    want = left.merge(right, on="k", how={"right": "right", "full": "outer"}[how])
+    for gate in (10**6, 0):
+        got = join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k", how=how,
+            broadcast_gate=gate,
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            _sorted(got), _sorted(want), check_dtype=False
+        ), (how, gate)
+
+
+def test_join_left_int_dtypes_stable_across_plans(sides):
+    """ADVICE r2: the broadcast plan must restore source Arrow types like
+    the sort-merge plan does — int build columns stay int64 (with nulls for
+    unmatched probe rows), on BOTH physical plans."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    left, right = sides
+    for gate in (10**6, 0):
+        out = join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k", how="left",
+            broadcast_gate=gate,
+        )
+        schema = out.schema(fetch_if_missing=True)
+        types = dict(zip(schema.names, schema.types))
+        assert types["rv"] == pa.int64(), (gate, types)
+        assert types["k"] == pa.int64(), (gate, types)
+
+
+def test_restore_types_raises_with_column_name():
+    """A column that cannot round-trip to its source Arrow type must raise
+    naming the column — not silently emit a differently-typed block (the
+    ray-2.49 mixed-block hazard)."""
+    import pyarrow as pa
+
+    from semanticizer_ray.functions.joins import _restore_types
+
+    schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+    bad = pd.DataFrame({"k": [1, 2], "v": ["one", "two"]})
+    with pytest.raises(ValueError, match="v .expected int64"):
+        _restore_types(bad, schema)
+
+
 def test_join_rejects_column_collision(sides, ray_session):
     import ray.data as rd
 

@@ -78,6 +78,31 @@ def test_gate_routes_by_profile_count(scored_inputs):
         S.score_pairs_fused, S.score_pairs_scatter = orig_fused, orig_scatter
 
 
+def test_fused_raises_on_overwide_pair_id(ray_session, scored_inputs):
+    """ADVICE r2: a pair conv_id wider than the side table's fixed-width id
+    dtype must raise BEFORE the cast — a truncation that prefix-collides
+    with a real id would otherwise silently score the wrong profile."""
+    import ray.data as rd
+
+    from semanticizer_ray.stages.scoring import build_side_state, score_pairs_fused
+
+    cfg, profiles, _ = scored_inputs
+    real = profiles.take(1)[0]["conv_id"]
+    wide = rd.from_pandas(
+        pd.DataFrame(
+            {
+                # prefix-collision shape: real id + suffix
+                "conv_a": [real + "-deliberately-much-wider-than-any-real-id"],
+                "conv_b": [real],
+                "block_id": ["b"],
+                "block_overflow": [0],
+            }
+        )
+    )
+    with pytest.raises(Exception, match="wider than"):
+        score_pairs_fused(wide, build_side_state(profiles), cfg).materialize()
+
+
 def test_scatter_raises_on_missing_profile(ray_session, scored_inputs):
     import ray.data as rd
 
