@@ -9,17 +9,32 @@ here is ~100× faster, fully streaming, and preserves block parallelism:
 1. (optional) ``map_batches(combine)`` — vectorized partial aggregation per
    batch, shrinking the shuffle input to ≤ one row per (key, batch);
 2. ``sort(key)`` — Ray's range-partitioned distributed sort (Arrow-native);
-3. per-BLOCK vectorized apply/combine. After the sort, a key group can only
-   straddle block BOUNDARIES, so each block's first/last keys (≤ 2 per
-   block — a tiny driver-side list) are routed to a single remainder
-   partition processed separately; interior groups are complete within
-   their block. Exact for any group shape, one extra pass over ≤
-   2×num_blocks combined rows, output block count ≈ input block count.
+3. per-BLOCK vectorized apply/combine with BLOCK-LOCAL edge handling:
+   after the sort, a key group can only straddle block boundaries, and a
+   straddling key is by construction the FIRST or LAST key of every block
+   that holds it. Each block therefore routes its own first/last-key rows
+   to the remainder and processes the rest as complete groups — no global
+   boundary-key collection pass, no driver-broadcast edge set. A key that
+   is on a block edge without actually straddling rides the remainder too
+   (all its rows — it still processes as one complete group there).
+
+Two flavors:
+
+- ``sorted_grouped_agg`` with an ASSOCIATIVE combiner (``pre_combine=True``
+  asserts associativity — the pre-pass already recombines partials): the
+  per-block combine and the edge marking fuse into the SORT's own pipeline
+  (one distributed execution), and the remainder is ≤ 2 combined rows per
+  block — always driver-tiny.
+- ``sorted_apply_exact`` (and ``sorted_grouped_agg`` with
+  ``pre_combine=False``) for ORDER-SENSITIVE / apply-once group functions:
+  the function is applied exactly once per complete key group (interior
+  groups per block, edge-key groups in the remainder partition).
 
 ``combine`` contract (sorted_grouped_agg): pandas DataFrame (any mix of raw
 and partial rows) → one combined row per key present, vectorized over the
-whole frame; associative + commutative + idempotent on combined rows; must
-return correct-schema output for an empty input.
+whole frame; with ``pre_combine=True`` it must additionally be associative
++ commutative + idempotent on combined rows; must return correct-schema
+output for an empty input.
 
 ``apply_block`` contract (sorted_apply_exact): receives only COMPLETE key
 groups (several at once, key-sorted) and may emit any shape; must handle
@@ -36,102 +51,61 @@ import ray.data as rd
 
 
 # boundary-remainder rows at or below this count apply on the driver
-# (one tiny pull; the rows are ≤ 2 bounded groups per block by contract)
+# (one tiny pull; callers bound group size — salting / caps, SURVEY.md §4)
 REMAINDER_DRIVER_GATE = 200_000
+
+_REM = "__rem"  # block-edge marker column (internal, stripped before output)
 
 
 def _keys_list(key: str | list[str]) -> list[str]:
     return [key] if isinstance(key, str) else list(key)
 
 
-def _boundary_keys(sorted_ds: rd.Dataset, keys: list[str]) -> pd.DataFrame:
-    """First/last key tuple of every block (driver-side tiny frame)."""
+def _edge_mask(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
+    """Rows whose key tuple equals this block's first or last key — the
+    only groups that can straddle a block boundary after a key sort."""
+    n = len(df)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    mask = np.zeros(n, dtype=bool)
+    first = np.ones(n, dtype=bool)
+    last = np.ones(n, dtype=bool)
+    for k in keys:
+        col = df[k].to_numpy()
+        first &= col == col[0]
+        last &= col == col[-1]
+    mask = first | last
+    return mask
 
-    def block_edges(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df[keys].iloc[0:0]
-        return df[keys].iloc[[0, len(df) - 1]]
 
-    edges = sorted_ds.map_batches(
-        block_edges, batch_format="pandas", batch_size=None
-    ).to_pandas()
-    return edges.drop_duplicates() if len(edges) else edges
+def _from_frame(out) -> rd.Dataset:
+    import pyarrow as _pa
+
+    return rd.from_arrow(out) if isinstance(out, _pa.Table) else rd.from_pandas(out)
 
 
-def _split_apply(
-    sorted_ds: rd.Dataset,
+def _apply_remainder(
+    rem_src: rd.Dataset,
     keys: list[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
-    edges: pd.DataFrame | None = None,
-) -> rd.Dataset:
-    """Apply ``fn`` to complete key groups: interior per block + boundary
-    remainder in one coalesced partition. ``edges``: pass the block-edge
-    frame if the caller already collected it (one less pass)."""
-    import ray
-
-    if edges is None:
-        edges = _boundary_keys(sorted_ds, keys)
-    if len(edges) == 0:
-        return sorted_ds.map_batches(fn, batch_format="pandas", batch_size=None)
-    b_ref = ray.put(set(map(tuple, edges.to_numpy())))
-
-    single = len(keys) == 1
-    if single:
-        b_single = {t[0] for t in map(tuple, edges.to_numpy())}
-
-    def _mask(df: pd.DataFrame, b: set) -> np.ndarray:
-        if len(df) == 0:
-            return np.zeros(0, dtype=bool)
-        if single:  # C-speed membership for the common one-key case
-            return df[keys[0]].isin(b_single).to_numpy()
-        return np.fromiter(
-            (tuple(row) in b for row in df[keys].to_numpy()),
-            dtype=bool,
-            count=len(df),
-        )
-
-    def interior(df: pd.DataFrame) -> pd.DataFrame:
-        b = ray.get(b_ref)
-        return fn(df[~_mask(df, b)])
-
-    def boundary_rows(df: pd.DataFrame) -> pd.DataFrame:
-        b = ray.get(b_ref)
-        return df[_mask(df, b)]
-
-    out_interior = sorted_ds.map_batches(
-        interior, batch_format="pandas", batch_size=None
-    )
-    # Boundary remainder: all straddling-key rows process together.
-    # CONTRACT: callers bound group size (salting / caps — SURVEY.md §4
-    # skew row), so the remainder holds ≤ 2 bounded groups per input
-    # block — tiny relative to the dataset. Below the count gate it
-    # applies ON THE DRIVER (one pull of the tiny frame + one local fn
-    # call — saves the ~5 s repartition+sort+map fixed cost PER grouped
-    # op); above the gate it coalesces into one distributed task.
-    # Routing it through groupby().map_groups instead was measured at
-    # +~8 s fixed per call (~107 s across the ER pipeline at sf0.1) —
-    # never do that. An UNBOUNDED straddling group would serialize here;
-    # that is the caller's bug, not this operator's.
-    rem_src = sorted_ds.map_batches(
-        boundary_rows, batch_format="pandas", batch_size=None
-    ).materialize()
+) -> rd.Dataset | None:
+    """Process the (materialized) remainder rows as one complete-group
+    application: on the driver below the count gate (one tiny pull + one
+    local fn call — saves the ~5 s repartition+sort+map fixed cost PER
+    grouped op), in one distributed task above it. Returns None when the
+    remainder produced no rows. An UNBOUNDED straddling group serializes
+    here; that is the caller's bug (salting / caps bound group size)."""
     if rem_src.count() <= REMAINDER_DRIVER_GATE:
-        import pyarrow as _pa
-
         pdf = rem_src.to_pandas()
         out = fn(pdf.sort_values(keys, kind="stable")) if len(pdf) else fn(pdf)
         if len(out) == 0:
-            return out_interior
-        rem = (
-            rd.from_arrow(out) if isinstance(out, _pa.Table) else rd.from_pandas(out)
-        )
-        return out_interior.union(rem)
-    rem = (
+            return None
+        return _from_frame(out)
+    return (
         rem_src.repartition(1)
         .sort(keys)
         .map_batches(fn, batch_format="pandas", batch_size=None)
     )
-    return out_interior.union(rem)
 
 
 def sorted_grouped_agg(
@@ -147,8 +121,12 @@ def sorted_grouped_agg(
     the vectorized pre-combine, if the partial row count is at or below the
     gate the final combine happens on the driver (one vectorized pandas
     call — right for metadata-sized aggregations like key censuses and
-    pair dedup at test scale); above the gate the distributed sort path
-    runs unchanged, so 100 TB inputs never touch the driver.
+    pair dedup at test scale); above the gate the distributed path runs
+    unchanged, so 100 TB inputs never touch the driver.
+
+    ``pre_combine=False`` signals the combiner may be order-sensitive
+    (e.g. ordered concat) — it is then applied exactly once per complete
+    group via the group-exact path instead of the fused per-block path.
     """
     keys = _keys_list(key)
     if pre_combine:
@@ -167,8 +145,49 @@ def sorted_grouped_agg(
             # would serialize every downstream map stage
             n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
             return rd.from_pandas(out).repartition(min(n_blocks, max(1, len(out))))
-    sorted_ds = ds.sort(keys).materialize()
-    return _split_apply(sorted_ds, keys, combine)
+    if not pre_combine:
+        # order-sensitive combiner: complete groups, applied exactly once
+        return sorted_apply_exact(ds, keys, combine)
+
+    # associative combiner: per-block combine + edge-mark FUSED into the
+    # sort's execution — one distributed pipeline, then a driver-tiny
+    # remainder (≤ 2 combined rows per block by the one-row-per-key
+    # contract)
+    def combine_mark(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = combine(df).copy()
+            out[_REM] = pd.Series(dtype=bool)
+            return out
+        out = combine(df).copy()
+        # mark combined rows whose FULL key tuple equals this block's
+        # first or last input key tuple
+        first_t = np.ones(len(out), dtype=bool)
+        last_t = np.ones(len(out), dtype=bool)
+        for k in keys:
+            col = out[k].to_numpy()
+            first_t &= col == df[k].iloc[0]
+            last_t &= col == df[k].iloc[-1]
+        out[_REM] = first_t | last_t
+        return out
+
+    marked = (
+        ds.sort(keys)
+        .map_batches(combine_mark, batch_format="pandas", batch_size=None)
+        .materialize()
+    )
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        return df[~df[_REM]].drop(columns=[_REM])
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[_REM]].drop(columns=[_REM])
+
+    out_interior = marked.map_batches(interior, batch_format="pandas", batch_size=None)
+    rem_src = marked.map_batches(
+        edge_rows, batch_format="pandas", batch_size=None
+    ).materialize()
+    rem = _apply_remainder(rem_src, keys, combine)
+    return out_interior if rem is None else out_interior.union(rem)
 
 
 def sorted_apply_exact(
@@ -176,17 +195,32 @@ def sorted_apply_exact(
     key: str | list[str],
     apply_block: Callable[[pd.DataFrame], pd.DataFrame],
     assume_sorted: bool = False,
-    precomputed_edges: pd.DataFrame | None = None,
 ) -> rd.Dataset:
     """Per-group apply with EXACT group boundaries, vectorized per block.
+
+    ``assume_sorted=True``: the input is already key-sorted AND
+    materialized (the caller reuses its own sorted exchange).
 
     Oversized single-key groups all land in the remainder partition — the
     caller bounds group size (salting; SURVEY.md §4 skew row).
     """
     keys = _keys_list(key)
-    sorted_ds = ds if assume_sorted else ds.sort(keys)
-    sorted_ds = sorted_ds.materialize()
-    return _split_apply(sorted_ds, keys, apply_block, edges=precomputed_edges)
+    sorted_ds = ds if assume_sorted else ds.sort(keys).materialize()
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        return apply_block(df[~_edge_mask(df, keys)])
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_edge_mask(df, keys)]
+
+    out_interior = sorted_ds.map_batches(
+        interior, batch_format="pandas", batch_size=None
+    )
+    rem_src = sorted_ds.map_batches(
+        edge_rows, batch_format="pandas", batch_size=None
+    ).materialize()
+    rem = _apply_remainder(rem_src, keys, apply_block)
+    return out_interior if rem is None else out_interior.union(rem)
 
 
 def group_starts(*key_arrays: np.ndarray) -> np.ndarray:

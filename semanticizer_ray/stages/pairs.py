@@ -7,15 +7,17 @@ generation (the old path paid a census sort, a salt-explode pass with s×
 row replication, and a second sort — three distributed exchanges where one
 suffices):
 
-1. sort by block_key → every key group is contiguous; block-edge keys
-   (≤ 2 per block, collected driver-side) are the only groups that can
-   straddle blocks;
-2. census from the SAME sorted pass: per-block partial counts, emitting
-   only keys over the smallest cap or on a block edge (tiny frame); the
-   driver sums partials — exact because interior keys live in one block
-   and edge keys are emitted by every block that holds them;
-3. per-block pair generation over complete groups (``_split_apply`` with
-   the already-collected edges). A hot key with n members is "salted"
+1. sort by block_key → every key group is contiguous; a straddling key is
+   by construction the FIRST or LAST key of every block that holds it, so
+   each block detects its own edge keys locally (no global boundary-key
+   collection pass, no broadcast edge set);
+2. census from ONE pass over the sorted blocks: per-block partial counts,
+   emitting only keys over the smallest cap or on the block's own edge
+   (tiny frame); the driver sums partials — exact because interior keys
+   live in one block and straddling keys are emitted by every block that
+   holds them;
+3. per-block pair generation over complete groups (``sorted_apply_exact``
+   on the same sorted exchange). A hot key with n members is "salted"
    LOCALLY: members bucket by hash(conv) % s, s = ceil(n / max_block_size)
    capped at MAX_SALT, and pairs are emitted per bucket pair (lo, hi) with
    ``max_pairs_per_block`` applied PER SALTED SUB-BLOCK and the overflow
@@ -46,10 +48,9 @@ import ray.data as rd
 
 from ..config import EngineConfig
 from ..functions.groupagg import (
-    _boundary_keys,
-    _split_apply,
     group_starts,
     grouped_count,
+    sorted_apply_exact,
     sorted_grouped_agg,
 )
 
@@ -206,22 +207,21 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
     min_cap = min(bcfg.max_block_size, bcfg.anchor_max_block_size)
 
     sorted_ds = block_rows.sort("block_key").materialize()
-    edges = _boundary_keys(sorted_ds, ["block_key"])
-    edge_keys = (
-        set(edges["block_key"]) if len(edges) else set()
-    )
-    edge_ref = ray.put(edge_keys)
 
     def census_block(df: pd.DataFrame) -> pd.DataFrame:
         """Per-block partial counts — only keys that might be hot (over the
-        smallest cap) or that straddle (on a block edge) leave the task."""
+        smallest cap) or that might straddle leave the task. A straddling
+        key is by construction the first or last key of EVERY block that
+        holds it, so block-LOCAL edge detection is exact: summing the
+        emitted partials gives the true global count for every hot or
+        straddling key (no separate boundary-key collection pass)."""
         if len(df) == 0:
             return pd.DataFrame(
                 {"block_key": pd.Series(dtype="str"), "n": pd.Series(dtype="int64")}
             )
-        ek = ray.get(edge_ref)
         counts = df.groupby("block_key", sort=False).size()
-        sel = counts[(counts > min_cap) | counts.index.isin(ek)]
+        k = df["block_key"].to_numpy()
+        sel = counts[(counts > min_cap) | counts.index.isin((k[0], k[-1]))]
         return sel.rename("n").reset_index()
 
     partials = sorted_ds.map_batches(
@@ -304,7 +304,9 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
             }
         )
 
-    all_pairs = _split_apply(sorted_ds, ["block_key"], gen_pairs_block, edges=edges)
+    all_pairs = sorted_apply_exact(
+        sorted_ds, "block_key", gen_pairs_block, assume_sorted=True
+    )
 
     def dedup_combine(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:

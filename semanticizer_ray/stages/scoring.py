@@ -26,9 +26,11 @@ Shape: deduplicated pairs carry only ids through the quadratic stage; the
 per-conv side rides as a BROADCAST of all-numpy arrays (``ray.put`` once,
 zero-copy per worker — ``build_side_state``) and scoring is one fused
 stateless ``map_batches`` (``score_pairs_fused``). At 10^12-turn scale the
-side table itself shards: the same pair stream instead takes a conv-keyed
-scatter/gather (the bucket-join pattern used by ``stages/clustering.py`` —
-deliberately NOT ``Dataset.join``, which in ray 2.49 mishandles empty
+side table itself shards: ``score_pairs_scatter`` packs it into hash
+buckets of bounded size (built off-driver, refs only) and the pair stream
+takes ONE skinny sorted exchange on (bucket_a, bucket_b), each group
+reading just its two bucket states — a fragment-replicate join
+(deliberately NOT ``Dataset.join``, which in ray 2.49 mishandles empty
 partitions inside composed plans).
 """
 
@@ -364,37 +366,16 @@ def build_side_state(profiles: rd.Dataset):
     Row lookup is a vectorized ``np.searchsorted``; anchor overlap works on
     fixed-width label-hash matrices. The per-row packing (head truncation,
     anchor-matrix hashing) runs DISTRIBUTED via ``build_side_rows`` — the
-    same pack the scatter path uses, so the two paths stay byte-identical —
-    and the driver only concatenates fixed-width buffers (was ~4 s of
-    serial pandas/md5 work per run at the 50k tier)."""
+    same rows the bucketed scatter path packs per shard, so the two paths
+    stay byte-identical — and the driver only concatenates fixed-width
+    buffers (was ~4 s of serial pandas/md5 work per run at the 50k tier)."""
     import ray
 
-    pdf = build_side_rows(profiles).to_pandas()
-    if pdf.empty or "ckey" not in pdf.columns:
-        return ray.put(
-            (
-                np.empty(0, dtype="S1"),
-                np.empty((0, 0), dtype=np.uint64),
-                np.empty(0, dtype="U1"),
-                np.empty(0),
-                np.empty((0, MAX_SIDE_ANCHORS), dtype=np.int64),
-                np.empty((0, MAX_SIDE_ANCHORS), dtype=np.float64),
-            )
-        )
-    convs = np.asarray(pdf["ckey"].to_numpy(), dtype="S")
-    order = np.argsort(convs)
-    convs = convs[order]
-    n = len(convs)
-    sig_mat = np.frombuffer(b"".join(pdf["sig"]), dtype=np.uint64).reshape(n, -1)[order]
-    heads = np.asarray(pdf["head"].to_numpy(), dtype="U")[order]
-    chars = pdf["n_chars"].to_numpy(dtype=np.float64)[order]
-    a_hash = np.frombuffer(b"".join(pdf["ah"]), dtype=np.int64).reshape(
-        n, MAX_SIDE_ANCHORS
-    )[order]
-    a_w = np.frombuffer(b"".join(pdf["aw"]), dtype=np.float64).reshape(
-        n, MAX_SIDE_ANCHORS
-    )[order]
-    return ray.put((convs, sig_mat, heads, chars, a_hash, a_w))
+    tbl = pa.concat_tables(
+        ray.get(build_side_rows(profiles).to_arrow_refs()),
+        promote_options="default",
+    )
+    return ray.put(_pack_side_table(tbl))
 
 
 def score_pairs_fused(
@@ -417,56 +398,12 @@ def score_pairs_fused(
             _SIDE_CACHE.clear()
             _SIDE_CACHE[key] = st
         rel_pack = _get_rel_pack(rel_ref)
-        convs, sig_mat, heads, chars, a_hash, a_w = st
-        n = batch.num_rows
-        # Width guard BEFORE the fixed-width cast: a pair id longer than the
-        # side table's S-dtype would be truncated, and a truncation that
-        # happens to equal an existing id (prefix collision) would slip past
-        # the equality check below and score against the wrong profile
-        # (ADVICE r2). Natural-width first, then compare itemsize.
-        ca_nat = np.asarray(batch["conv_a"].to_pylist(), dtype="S")
-        cb_nat = np.asarray(batch["conv_b"].to_pylist(), dtype="S")
-        if n and len(convs):
-            width = convs.dtype.itemsize
-            if ca_nat.dtype.itemsize > width or cb_nat.dtype.itemsize > width:
-                raise ValueError(
-                    "score_pairs_fused: pair conv_id wider than the profile "
-                    f"side table's id width ({max(ca_nat.dtype.itemsize, cb_nat.dtype.itemsize)} > {width} bytes) "
-                    "— id set mismatch between pairs and profiles"
-                )
-        ca_arr = ca_nat.astype(convs.dtype) if len(convs) else ca_nat
-        cb_arr = cb_nat.astype(convs.dtype) if len(convs) else cb_nat
-        ia = np.searchsorted(convs, ca_arr)
-        ib = np.searchsorted(convs, cb_arr)
-        if n:
-            # membership check: pairs derive from profiles, so every conv_id
-            # MUST be present in the side table — a miss is a pipeline bug
-            # (or a truncated id) and silently attaching a neighbour's
-            # profile would corrupt scores.
-            ia = np.minimum(ia, max(len(convs) - 1, 0))
-            ib = np.minimum(ib, max(len(convs) - 1, 0))
-            if len(convs) == 0 or not (
-                np.array_equal(convs[ia], ca_arr) and np.array_equal(convs[ib], cb_arr)
-            ):
-                n_miss = (
-                    n
-                    if len(convs) == 0
-                    else int((convs[ia] != ca_arr).sum() + (convs[ib] != cb_arr).sum())
-                )
-                raise ValueError(
-                    f"score_pairs_fused: {n_miss} pair conv_ids missing from "
-                    "the profile side table"
-                )
-            feats = _feature_arrays(
-                sig_mat[ia], sig_mat[ib], heads[ia], heads[ib],
-                chars[ia], chars[ib], a_hash[ia], a_w[ia], a_hash[ib], a_w[ib],
-                rel_pack=rel_pack,
-            )
-        else:
-            e = np.empty(0)
-            feats = (e, e, e, e, e, e)
-        return _edges_table(
-            batch["conv_a"], batch["conv_b"], batch["block_id"], feats, scfg
+        # same kernel as the bucketed scatter path (one state for both
+        # sides) — incl. the id-width guard before the fixed-width cast and
+        # the membership check (ADVICE r2)
+        return _gather_and_score(
+            st, st, batch["conv_a"], batch["conv_b"], batch["block_id"],
+            rel_pack, scfg,
         )
 
     # 4096-row batches: kernels amortize fully by ~2k rows, and ~2× more
@@ -476,9 +413,11 @@ def score_pairs_fused(
 
 
 def build_side_rows(profiles: rd.Dataset) -> rd.Dataset:
-    """Per-conv compact payload rows for the scatter path (one short row per
-    conversation; anchor matrices pre-packed to fixed-width binary so the
-    attach block is a plain merge)."""
+    """Per-conv compact payload rows (one short row per conversation;
+    anchor matrices pre-packed to fixed-width binary): the distributed
+    precursor of both the broadcast side state and the bucketed scatter
+    states — one construction, so the two scoring paths stay
+    byte-identical."""
     import pyarrow.compute as pc
 
     def shrink(batch: pa.Table) -> pa.Table:
@@ -486,14 +425,9 @@ def build_side_rows(profiles: rd.Dataset) -> rd.Dataset:
         ah, aw = _anchor_matrices(
             batch["anchor_labels"].to_pylist(), batch["anchor_weights"].to_pylist()
         )
-        n = batch.num_rows
         return pa.table(
             {
                 "ckey": batch["conv_id"],
-                "kind": pa.array(["p"] * n, pa.string()),
-                "pair_key": pa.nulls(n, pa.string()),
-                "pos": pa.nulls(n, pa.string()),
-                "block_id": pa.nulls(n, pa.string()),
                 "sig": batch["sig"],
                 "head": head,
                 "n_chars": pc.cast(batch["n_chars"], pa.float64()),
@@ -507,170 +441,228 @@ def build_side_rows(profiles: rd.Dataset) -> rd.Dataset:
     )
 
 
-_SCATTER_COLS = [
-    "key", "kind", "other", "block_id",
-    "sig_a", "head_a", "nc_a", "ah_a", "aw_a",
-    "sig_b", "head_b", "nc_b", "ah_b", "aw_b",
-]
-
-
-def _scatter_side_rows(profiles: rd.Dataset, which: str) -> rd.Dataset:
-    """Per-conv payload rows in the unified scatter schema, payload in the
-    ``which`` ∈ {a, b} column slots (the other side's slots null)."""
-    import pyarrow.compute as pc
-
-    def shrink(batch: pa.Table) -> pa.Table:
-        head = pc.utf8_slice_codeunits(batch["text_head"], 0, max(LEV_CAP, JW_CAP))
-        ah, aw = _anchor_matrices(
-            batch["anchor_labels"].to_pylist(), batch["anchor_weights"].to_pylist()
+def _pack_side_table(tbl: pa.Table):
+    """Side-payload rows (``build_side_rows`` schema) → the all-numpy state
+    tuple used by the scoring kernel: (conv_ids sorted S-array, sig_mat
+    uint64[n,H], heads U-array, chars f8[n], anchor_hash int64[n,M],
+    anchor_w f8[n,M])."""
+    n = tbl.num_rows
+    if n == 0:
+        return (
+            np.empty(0, dtype="S1"),
+            np.empty((0, 0), dtype=np.uint64),
+            np.empty(0, dtype="U1"),
+            np.empty(0),
+            np.empty((0, MAX_SIDE_ANCHORS), dtype=np.int64),
+            np.empty((0, MAX_SIDE_ANCHORS), dtype=np.float64),
         )
-        n = batch.num_rows
-        payload = {
-            f"sig_{which}": batch["sig"],
-            f"head_{which}": head,
-            f"nc_{which}": pc.cast(batch["n_chars"], pa.float64()),
-            f"ah_{which}": pa.array([r.tobytes() for r in ah], pa.binary()),
-            f"aw_{which}": pa.array([r.tobytes() for r in aw], pa.binary()),
-        }
-        cols: dict = {"key": batch["conv_id"], "kind": pa.array(["p"] * n, pa.string())}
-        for c in _SCATTER_COLS[2:]:
-            if c in payload:
-                cols[c] = payload[c]
-            elif c in ("other", "block_id") or c.startswith("head_"):
-                cols[c] = pa.nulls(n, pa.string())
-            elif c.startswith("nc_"):
-                cols[c] = pa.nulls(n, pa.float64())
-            else:
-                cols[c] = pa.nulls(n, pa.binary())
-        return pa.table({c: cols[c] for c in _SCATTER_COLS})
+    convs = np.asarray(tbl["ckey"].to_pylist(), dtype="S")
+    order = np.argsort(convs)
+    convs = convs[order]
+    sig_mat = np.frombuffer(b"".join(tbl["sig"].to_pylist()), dtype=np.uint64).reshape(
+        n, -1
+    )[order]
+    heads = np.asarray(tbl["head"].to_pylist(), dtype="U")[order]
+    chars = tbl["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+    a_hash = np.frombuffer(b"".join(tbl["ah"].to_pylist()), dtype=np.int64).reshape(
+        n, MAX_SIDE_ANCHORS
+    )[order]
+    a_w = np.frombuffer(b"".join(tbl["aw"].to_pylist()), dtype=np.float64).reshape(
+        n, MAX_SIDE_ANCHORS
+    )[order]
+    return convs, sig_mat, heads, chars, a_hash, a_w
 
-    return profiles.select_columns(["conv_id"] + SIDE_COLS).map_batches(
-        shrink, batch_format="pyarrow"
+
+def _gather_and_score(
+    st_a, st_b, conv_a, conv_b, block_id, rel_pack, scfg: ScoringConfig
+) -> pa.Table:
+    """Look pair endpoints up in their (possibly distinct) side states and
+    run the ONE vectorized feature kernel — shared by the broadcast and
+    bucketed-scatter paths, so both produce byte-identical edges.
+
+    ``conv_a``/``conv_b``/``block_id``: aligned Arrow arrays. A pair id
+    wider than a state's fixed-width id dtype raises BEFORE the cast (a
+    truncation that prefix-collides with a real id would silently score the
+    wrong profile); an id absent from its state raises (pairs derive from
+    profiles — a miss is a pipeline bug)."""
+    n = len(conv_a)
+
+    def lookup(state, col, side: str) -> np.ndarray:
+        convs = state[0]
+        nat = np.asarray(col.to_pylist(), dtype="S")
+        if n and len(convs):
+            width = convs.dtype.itemsize
+            if nat.dtype.itemsize > width:
+                raise ValueError(
+                    f"score_pairs: pair conv_{side} wider than the profile "
+                    f"side table's id width ({nat.dtype.itemsize} > {width} "
+                    "bytes) — id set mismatch between pairs and profiles"
+                )
+        arr = nat.astype(convs.dtype) if len(convs) else nat
+        idx = np.searchsorted(convs, arr)
+        idx = np.minimum(idx, max(len(convs) - 1, 0))
+        if len(convs) == 0 or not np.array_equal(convs[idx], arr):
+            n_miss = n if len(convs) == 0 else int((convs[idx] != arr).sum())
+            raise ValueError(
+                f"score_pairs: {n_miss} conv_{side} ids have no profile row "
+                "in the side table"
+            )
+        return idx
+
+    if n:
+        ia = lookup(st_a, conv_a, "a")
+        ib = lookup(st_b, conv_b, "b")
+        _, sa_sig, sa_heads, sa_chars, sa_ah, sa_aw = st_a
+        _, sb_sig, sb_heads, sb_chars, sb_ah, sb_aw = st_b
+        feats = _feature_arrays(
+            sa_sig[ia], sb_sig[ib], sa_heads[ia], sb_heads[ib],
+            sa_chars[ia], sb_chars[ib],
+            sa_ah[ia], sa_aw[ia], sb_ah[ib], sb_aw[ib],
+            rel_pack=rel_pack,
+        )
+    else:
+        e = np.empty(0)
+        feats = (e, e, e, e, e, e)
+    return _edges_table(conv_a, conv_b, block_id, feats, scfg)
+
+
+# per-worker cache of fetched bucket states (plasma reads are zero-copy on
+# the owning node; the cache just skips repeated deserialization bookkeeping)
+_BUCKET_CACHE: dict = {}
+_BUCKET_CACHE_MAX = 16
+
+
+def _get_bucket_state(ref):
+    import ray
+
+    key = ref.hex()
+    st = _BUCKET_CACHE.get(key)
+    if st is None:
+        st = ray.get(ref)
+        if len(_BUCKET_CACHE) >= _BUCKET_CACHE_MAX:
+            _BUCKET_CACHE.clear()
+        _BUCKET_CACHE[key] = st
+    return st
+
+
+def _bucket_of_ids(ids: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic (process-stable) hash bucket per conv id — must be the
+    same function on the side-split and pair-tag sides."""
+    return (pd.util.hash_array(np.asarray(ids, dtype=object)) % num_buckets).astype(
+        np.int64
     )
+
+
+def build_bucket_states(profiles: rd.Dataset, num_buckets: int) -> list:
+    """Shard the compact per-conv side payload into ``num_buckets`` packed
+    numpy states, built entirely OFF-driver: the side-row blocks stream as
+    Arrow refs into split tasks (one per block, ``num_buckets`` outputs
+    each), and one pack task per bucket concatenates its slices and
+    ``ray.put``s the packed state from the worker. The driver only ever
+    holds object refs. This is the sanctioned raw-Ray escape hatch (a
+    shared partitioned broadcast index — Dataset can't express "random
+    access by shard" downstream).
+
+    Returns a list of ``num_buckets`` ObjectRefs of state tuples."""
+    import ray
+
+    block_refs = build_side_rows(profiles).to_arrow_refs()
+
+    @ray.remote
+    def split(tbl: pa.Table) -> list:
+        if tbl.num_rows == 0:
+            empty = tbl.schema.empty_table()
+            return [empty] * num_buckets if num_buckets > 1 else empty
+        b = _bucket_of_ids(np.asarray(tbl["ckey"].to_pylist(), dtype=object), num_buckets)
+        out = []
+        for i in range(num_buckets):
+            out.append(tbl.filter(pa.array(b == i)))
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def pack(*parts):
+        return _pack_side_table(pa.concat_tables(parts, promote_options="default"))
+
+    split_refs = [
+        split.options(num_returns=num_buckets).remote(r) for r in block_refs
+    ]
+    if num_buckets == 1:
+        split_refs = [[r] for r in split_refs]
+    return [
+        pack.remote(*[sr[i] for sr in split_refs]) for i in range(num_buckets)
+    ]
 
 
 def score_pairs_scatter(
-    pairs: rd.Dataset, profiles: rd.Dataset, cfg: EngineConfig, rel_ref=None
+    pairs: rd.Dataset,
+    profiles: rd.Dataset,
+    cfg: EngineConfig,
+    rel_ref=None,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
-    """Scored edges WITHOUT any whole-dataset broadcast: the per-conv side
-    payload rides two conv-keyed bucket-join exchanges (the
-    ``clustering.py`` pattern; deliberately NOT ``Dataset.join`` — ray 2.49
-    mishandles empty partitions inside composed plans):
+    """Scored edges WITHOUT any whole-dataset broadcast — the 10^12-turn
+    plan, shaped as a fragment-replicate join:
 
-    1. pair rows keyed by conv_a union the A-slot payload rows;
-       ``sorted_apply_exact(key)`` attaches the A payload to each PAIR row
-       (one row per pair — no half-row explosion);
-    2. the output re-keys by conv_b and unions the B-slot payload rows;
-       the second ``sorted_apply_exact`` attaches the B payload and scores
-       the now-complete rows in place — no third exchange.
+    1. the compact per-conv payload shards into ``num_buckets`` packed
+       states (``build_bucket_states`` — built off-driver, refs only);
+    2. pair rows tag themselves with (bucket_a, bucket_b) = hash of each
+       endpoint and take ONE skinny sorted exchange on that composite key
+       (ids + block_id only — ~60 bytes/pair; the old design shipped the
+       full A-payload through a second exchange, ~1.7 KB/pair);
+    3. each complete (bucket_a, bucket_b) group fetches its TWO bucket
+       states (zero-copy plasma reads, worker-cached) and runs the same
+       vectorized kernel as the broadcast path (``_gather_and_score``).
 
-    Byte-identical to ``score_pairs_fused`` (same kernel, same anchor
-    matrices — asserted by the parity test); the trade is two key-sorted
-    exchanges for O(1) driver/worker memory at any record count. Requires
-    deduplicated pairs (exactly one row per unordered pair).
-    """
+    Partitioning assumptions, documented: each scoring task holds exactly
+    two bucket states in memory — size a bucket to fit (num_buckets ≈
+    n_convs/4096 by default, so ~7 MB/bucket at the defaults); a bucket
+    state is read by up to 2·num_buckets−1 tasks, so cross-node traffic is
+    O(num_buckets · total_payload) — the classic fragment-replicate trade
+    of replicated small reads for not shuffling the quadratic side.
+
+    Byte-identical to ``score_pairs_fused`` (same packed rows, same kernel
+    — asserted by the parity test). Requires deduplicated pairs."""
     from ..functions.groupagg import sorted_apply_exact
 
     scfg = cfg.scoring
+    if num_buckets is None:
+        num_buckets = int(min(64, max(4, profiles.count() // 4096 + 1)))
+    states = build_bucket_states(profiles, num_buckets)
 
-    def pair_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        cols: dict = {
-            "key": batch["conv_a"],
-            "kind": pa.array(["x"] * n, pa.string()),
-            "other": batch["conv_b"],
-            "block_id": batch["block_id"],
-        }
-        for c in _SCATTER_COLS[4:]:
-            if c.startswith("head_"):
-                cols[c] = pa.nulls(n, pa.string())
-            elif c.startswith("nc_"):
-                cols[c] = pa.nulls(n, pa.float64())
-            else:
-                cols[c] = pa.nulls(n, pa.binary())
-        return pa.table({c: cols[c] for c in _SCATTER_COLS})
-
-    A_PAYLOAD = ["sig_a", "head_a", "nc_a", "ah_a", "aw_a"]
-    B_PAYLOAD = ["sig_b", "head_b", "nc_b", "ah_b", "aw_b"]
-
-    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
-        """Complete conv_a groups → pair rows with the A payload, re-keyed
-        by conv_b for the second exchange."""
-        if len(df) == 0:
-            return df.reindex(columns=_SCATTER_COLS)
-        profs = df.loc[df["kind"] == "p", ["key"] + A_PAYLOAD]
-        px = df.loc[df["kind"] == "x", ["key", "kind", "other", "block_id"]]
-        merged = px.merge(profs, on="key", how="left")
-        if merged["sig_a"].isna().any():
-            n_miss = int(merged["sig_a"].isna().sum())
-            raise ValueError(
-                f"score_pairs_scatter: {n_miss} conv_a ids have no profile row"
-            )
-        out = pd.DataFrame(
+    def tag(batch: pa.Table) -> pa.Table:
+        ba = _bucket_of_ids(np.asarray(batch["conv_a"].to_pylist(), dtype=object), num_buckets)
+        bb = _bucket_of_ids(np.asarray(batch["conv_b"].to_pylist(), dtype=object), num_buckets)
+        return pa.table(
             {
-                "key": merged["other"],  # next exchange keys by conv_b
-                "kind": merged["kind"],
-                "other": merged["key"],  # conv_a rides along
-                "block_id": merged["block_id"],
+                "bucket_a": pa.array(ba, pa.int64()),
+                "bucket_b": pa.array(bb, pa.int64()),
+                "conv_a": batch["conv_a"],
+                "conv_b": batch["conv_b"],
+                "block_id": batch["block_id"],
             }
         )
-        for c in A_PAYLOAD:
-            out[c] = merged[c]
-        for c in B_PAYLOAD:
-            out[c] = np.nan if c.startswith("nc_") else None
-        return out[_SCATTER_COLS]
 
-    def attach_b_and_score(df: pd.DataFrame) -> pa.Table:
-        """Complete conv_b groups → full payload rows → scored edges, one
-        vectorized kernel call per block."""
+    def score_groups(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
             return EDGE_SCHEMA.empty_table()
-        profs = df.loc[df["kind"] == "p", ["key"] + B_PAYLOAD]
-        px = df.loc[df["kind"] == "x"]
-        merged = px[["key", "other", "block_id"] + A_PAYLOAD].merge(
-            profs, on="key", how="left"
-        )
-        if merged["sig_b"].isna().any():
-            n_miss = int(merged["sig_b"].isna().sum())
-            raise ValueError(
-                f"score_pairs_scatter: {n_miss} conv_b ids have no profile row"
+        rel_pack = _get_rel_pack(rel_ref)
+        out: list[pa.Table] = []
+        for (ba, bb), g in df.groupby(["bucket_a", "bucket_b"], sort=True):
+            st_a = _get_bucket_state(states[int(ba)])
+            st_b = st_a if bb == ba else _get_bucket_state(states[int(bb)])
+            out.append(
+                _gather_and_score(
+                    st_a, st_b,
+                    pa.array(g["conv_a"].to_numpy(), pa.string()),
+                    pa.array(g["conv_b"].to_numpy(), pa.string()),
+                    pa.array(g["block_id"].to_numpy(), pa.string()),
+                    rel_pack, scfg,
+                )
             )
-        m = len(merged)
-        if m == 0:
-            return EDGE_SCHEMA.empty_table()
-        sig_a = np.frombuffer(b"".join(merged["sig_a"]), dtype=np.uint64).reshape(m, -1)
-        sig_b = np.frombuffer(b"".join(merged["sig_b"]), dtype=np.uint64).reshape(m, -1)
-        ah_a = np.frombuffer(b"".join(merged["ah_a"]), dtype=np.int64).reshape(m, MAX_SIDE_ANCHORS)
-        ah_b = np.frombuffer(b"".join(merged["ah_b"]), dtype=np.int64).reshape(m, MAX_SIDE_ANCHORS)
-        aw_a = np.frombuffer(b"".join(merged["aw_a"]), dtype=np.float64).reshape(m, MAX_SIDE_ANCHORS)
-        aw_b = np.frombuffer(b"".join(merged["aw_b"]), dtype=np.float64).reshape(m, MAX_SIDE_ANCHORS)
-        feats = _feature_arrays(
-            sig_a, sig_b,
-            merged["head_a"].to_numpy(), merged["head_b"].to_numpy(),
-            merged["nc_a"].to_numpy(dtype=np.float64),
-            merged["nc_b"].to_numpy(dtype=np.float64),
-            ah_a, aw_a, ah_b, aw_b,
-            rel_pack=_get_rel_pack(rel_ref),
-        )
-        return _edges_table(
-            pa.array(merged["other"].to_numpy(), pa.string()),  # conv_a
-            pa.array(merged["key"].to_numpy(), pa.string()),  # conv_b
-            pa.array(merged["block_id"].to_numpy(), pa.string()),
-            feats,
-            scfg,
-        )
+        return pa.concat_tables(out)
 
-    keyed_a = _scatter_side_rows(profiles, "a").union(
-        pairs.map_batches(pair_rows, batch_format="pyarrow")
-    )
-    with_a = sorted_apply_exact(keyed_a, "key", attach_a)
-    # unify block type for the second exchange: attach_a emits pandas
-    # blocks, so the side rows convert too (mixed block types inside one
-    # sort are the known ray-2.49 hazard — see module docstring)
-    side_b = _scatter_side_rows(profiles, "b").map_batches(
-        lambda df: df, batch_format="pandas"
-    )
-    return sorted_apply_exact(side_b.union(with_a), "key", attach_b_and_score)
+    tagged = pairs.map_batches(tag, batch_format="pyarrow")
+    return sorted_apply_exact(tagged, ["bucket_a", "bucket_b"], score_groups)
 
 
 def score_pairs(
@@ -681,9 +673,9 @@ def score_pairs(
 ) -> rd.Dataset:
     """Gated scorer: at or below ``scoring.side_broadcast_gate`` profile rows
     the whole side table broadcasts (one ``ray.put``, zero-copy numpy reads —
-    fastest at small/medium scale); above it the conv-keyed scatter/gather
-    runs so no driver materialization or whole-dataset broadcast ever happens
-    (the 10^12-turn path). Both produce byte-identical edges.
+    fastest at small/medium scale); above it the bucketed fragment-replicate
+    scatter runs so no driver materialization or whole-dataset broadcast ever
+    happens (the 10^12-turn path). Both produce byte-identical edges.
 
     ``relatedness``: optional ``RelatednessState`` (or pre-put ObjectRef of
     its pack) for the F3 context feature. Unlike the per-record side table,

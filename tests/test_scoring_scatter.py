@@ -109,11 +109,14 @@ def test_scatter_raises_on_missing_profile(ray_session, scored_inputs):
     from semanticizer_ray.stages.scoring import score_pairs_scatter
 
     cfg, profiles, _ = scored_inputs
+    # ghost ids no wider than real ones, so the id-width guard does NOT
+    # fire first and the membership check itself is exercised
+    width = max(len(r["conv_id"]) for r in profiles.take(5))
     ghost = rd.from_pandas(
         pd.DataFrame(
             {
-                "conv_a": ["zz-not-a-conv-1"],
-                "conv_b": ["zz-not-a-conv-2"],
+                "conv_a": ["z" * width],
+                "conv_b": ["y" * width],
                 "block_id": ["b"],
                 "block_overflow": [0],
             }
