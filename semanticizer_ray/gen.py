@@ -317,6 +317,30 @@ def write_fixture_set(out_dir: str, n_convs: int, seed: int = 42) -> dict[str, s
         ("clusters_truth", truth),
     ]:
         p = os.path.join(out_dir, f"{name}.parquet")
-        pq.write_table(tbl, p)
+        # big tables shard into a directory of part files (readers accept
+        # both layouts): Parquet reads parallelize per FILE first and per
+        # row group second — a single 1M-row file with pyarrow's default
+        # row grouping was measured reading serially (~20 s stall at the
+        # 100k-conversation bench tier). Small tables stay single-file.
+        if tbl.num_rows > 200_000:
+            import shutil
+
+            tmp = p + ".tmp-dir"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            part_rows = 131_072
+            for i, lo in enumerate(range(0, tbl.num_rows, part_rows)):
+                pq.write_table(
+                    tbl.slice(lo, part_rows),
+                    os.path.join(tmp, f"part-{i:04d}.parquet"),
+                    row_group_size=32768,
+                )
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            elif os.path.exists(p):
+                os.remove(p)
+            os.replace(tmp, p)
+        else:
+            pq.write_table(tbl, p, row_group_size=32768)
         paths[name] = p
     return paths

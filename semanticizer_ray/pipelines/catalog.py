@@ -26,7 +26,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..config import EngineConfig
-from ..sources.parquet import read_table
+from ..sources.parquet import read_table, read_transcripts
 
 
 def _p(sf_dir: str, table: str) -> str:
@@ -838,7 +838,7 @@ def er_clusters(sf_dir: str) -> pd.DataFrame:
     cfg = EngineConfig()
     dict_table = _anchor_dict_table(fx, cfg)
     rel_state = _relatedness_state(fx, cfg, dict_table)
-    transcripts = rd.read_parquet(os.path.join(fx, "transcripts.parquet"))
+    transcripts = read_transcripts(os.path.join(fx, "transcripts.parquet"))
     res = resolve_entities(
         transcripts, cfg, anchor_dict_source=dict_table, relatedness=rel_state
     )
@@ -858,7 +858,7 @@ def er_clusters_scatter(sf_dir: str) -> pd.DataFrame:
     dict_table = _anchor_dict_table(fx, base)  # dict build is config-independent here
     rel_state = _relatedness_state(fx, base, dict_table)
     cfg = EngineConfig(scoring=ScoringConfig(side_broadcast_gate=0))
-    transcripts = rd.read_parquet(os.path.join(fx, "transcripts.parquet"))
+    transcripts = read_transcripts(os.path.join(fx, "transcripts.parquet"))
     res = resolve_entities(
         transcripts, cfg, anchor_dict_source=dict_table, relatedness=rel_state
     )
@@ -894,7 +894,7 @@ def _erq_run() -> tuple[pd.DataFrame, pd.DataFrame]:
     cfg = EngineConfig()
     dict_table = _anchor_dict_table(fx, cfg)
     rel_state = _relatedness_state(fx, cfg, dict_table)
-    transcripts = rd.read_parquet(os.path.join(fx, "transcripts.parquet"))
+    transcripts = read_transcripts(os.path.join(fx, "transcripts.parquet"))
     res = resolve_entities(
         transcripts, cfg, anchor_dict_source=dict_table, relatedness=rel_state
     )
@@ -1014,7 +1014,7 @@ def er_mentions(sf_dir: str) -> pd.DataFrame:
     fx = _er_fixture_dir(sf_dir)
     cfg = EngineConfig()
     dict_table = _anchor_dict_table(fx, cfg)
-    ds = normalize_turns(rd.read_parquet(os.path.join(fx, "transcripts.parquet")), cfg)
+    ds = normalize_turns(read_transcripts(os.path.join(fx, "transcripts.parquet")), cfg)
     out = extract_mentions(ds, dict_table, cfg).to_pandas()
     return out.sort_values(["conv_id", "turn_idx", "start", "end", "sense_id"]).reset_index(
         drop=True

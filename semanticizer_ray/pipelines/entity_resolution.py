@@ -125,7 +125,9 @@ def resolve_entities_checkpointed(
         in_fp = in_fp + "+" + fingerprint_paths([relatedness_path])
 
     def transcripts() -> rd.Dataset:
-        return rd.read_parquet(transcripts_path)
+        from ..sources.parquet import read_transcripts
+
+        return read_transcripts(transcripts_path)
 
     prof = ck.stage(
         "profiles",

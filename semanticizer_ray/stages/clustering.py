@@ -290,33 +290,38 @@ def cluster_edges(
         g["cur"] = cur.reindex(g.index)
         return g.reset_index()
 
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype="str"),
+                    "label": pd.Series(dtype="str"),
+                    "changed": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "node": df["node"],
+                "label": df["label"],
+                "changed": (df["label"] < df["cur"]).astype("int64"),
+            }
+        )
+
     for _round in range(cfg.cluster.max_rounds):
         scat_src = sym.union(
             labels.map_batches(label_to_scatter, batch_format="pyarrow")
         )
         msgs = sorted_apply_exact(scat_src, "key", scatter_block)
-        stepped = sorted_grouped_agg(msgs, "node", gather_combine).materialize()
-
-        def finalize(df: pd.DataFrame) -> pd.DataFrame:
-            if len(df) == 0:
-                return pd.DataFrame(
-                    {
-                        "node": pd.Series(dtype="str"),
-                        "label": pd.Series(dtype="str"),
-                        "changed": pd.Series(dtype="int64"),
-                    }
-                )
-            return pd.DataFrame(
-                {
-                    "node": df["node"],
-                    "label": df["label"],
-                    "changed": (df["label"] < df["cur"]).astype("int64"),
-                }
-            )
-
-        stepped = stepped.map_batches(finalize, batch_format="pandas").materialize()
+        # ONE materialize per round: gather + finalize fuse into it; the
+        # convergence sum scans the cached blocks and the label projection
+        # stays lazy (next round's sort re-reads the cached blocks)
+        stepped = (
+            sorted_grouped_agg(msgs, "node", gather_combine)
+            .map_batches(finalize, batch_format="pandas")
+            .materialize()
+        )
         changed = stepped.sum("changed")
-        labels = stepped.select_columns(["node", "label"]).materialize()
+        labels = stepped.select_columns(["node", "label"])
         if not changed:
             break
     else:
