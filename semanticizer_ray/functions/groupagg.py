@@ -43,11 +43,23 @@ empty input.
 
 from __future__ import annotations
 
+import os
+import time
 from typing import Callable
 
 import numpy as np
 import pandas as pd
 import ray.data as rd
+
+
+def _t0() -> float:
+    return time.perf_counter()
+
+
+def _tlog(label: str, t0: float) -> None:
+    """Driver-side step timing, printed when GRAFT_TIMING=1 (scaling work)."""
+    if os.environ.get("GRAFT_TIMING") == "1":
+        print(f"[groupagg-timing] {label}: {time.perf_counter() - t0:.2f}s")
 
 
 # boundary-remainder rows at or below this count apply on the driver
@@ -170,11 +182,13 @@ def sorted_grouped_agg(
         out[_REM] = first_t | last_t
         return out
 
+    t0 = _t0()
     marked = (
         ds.sort(keys)
         .map_batches(combine_mark, batch_format="pandas", batch_size=None)
         .materialize()
     )
+    _tlog(f"agg[{keys}] sort+combine_mark", t0)
 
     def interior(df: pd.DataFrame) -> pd.DataFrame:
         return df[~df[_REM]].drop(columns=[_REM])
@@ -183,10 +197,12 @@ def sorted_grouped_agg(
         return df[df[_REM]].drop(columns=[_REM])
 
     out_interior = marked.map_batches(interior, batch_format="pandas", batch_size=None)
+    t0 = _t0()
     rem_src = marked.map_batches(
         edge_rows, batch_format="pandas", batch_size=None
     ).materialize()
     rem = _apply_remainder(rem_src, keys, combine)
+    _tlog(f"agg[{keys}] edge+remainder", t0)
     return out_interior if rem is None else out_interior.union(rem)
 
 
@@ -205,7 +221,10 @@ def sorted_apply_exact(
     caller bounds group size (salting; SURVEY.md §4 skew row).
     """
     keys = _keys_list(key)
+    t0 = _t0()
     sorted_ds = ds if assume_sorted else ds.sort(keys).materialize()
+    if not assume_sorted:
+        _tlog(f"apply[{keys}] sort", t0)
 
     def interior(df: pd.DataFrame) -> pd.DataFrame:
         return apply_block(df[~_edge_mask(df, keys)])
@@ -216,10 +235,12 @@ def sorted_apply_exact(
     out_interior = sorted_ds.map_batches(
         interior, batch_format="pandas", batch_size=None
     )
+    t0 = _t0()
     rem_src = sorted_ds.map_batches(
         edge_rows, batch_format="pandas", batch_size=None
     ).materialize()
     rem = _apply_remainder(rem_src, keys, apply_block)
+    _tlog(f"apply[{keys}] edge+remainder", t0)
     return out_interior if rem is None else out_interior.union(rem)
 
 

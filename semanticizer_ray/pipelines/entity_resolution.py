@@ -23,12 +23,17 @@ from typing import Any
 import ray.data as rd
 
 from ..config import EngineConfig
-from ..stages.blocking import anchor_block_keys, lsh_block_keys
+from ..stages.blocking import block_keys
 from ..stages.clustering import cluster_edges
 from ..stages.normalize_turns import normalize_turns
 from ..stages.pairs import candidate_pairs
 from ..stages.scoring import score_pairs
 from ..stages.signatures import conv_profiles
+
+
+def _est_key_rows(cfg: EngineConfig, n_convs: int) -> int:
+    """Exact upper bound on block-key rows: bands + anchor keys per conv."""
+    return n_convs * (cfg.blocking.num_bands + cfg.blocking.anchor_keys_per_conv)
 
 
 @dataclass
@@ -54,11 +59,9 @@ def resolve_entities(
     normalized = normalize_turns(transcripts, cfg)
     profiles = conv_profiles(normalized, cfg, dict_source=anchor_dict_source).materialize()
 
-    keys = lsh_block_keys(profiles, cfg)
-    if anchor_dict_source is not None:
-        keys = keys.union(anchor_block_keys(profiles, cfg))
+    keys = block_keys(profiles, cfg, include_anchors=anchor_dict_source is not None)
 
-    pairs = candidate_pairs(keys, cfg)
+    pairs = candidate_pairs(keys, cfg, est_rows=_est_key_rows(cfg, profiles.count()))
 
     edges = score_pairs(pairs, profiles, cfg, relatedness=relatedness).materialize()
     clusters = cluster_edges(
@@ -137,11 +140,8 @@ def resolve_entities_checkpointed(
         ),
     )
 
-    def block_keys() -> rd.Dataset:
-        keys = lsh_block_keys(prof.dataset, cfg)
-        if dict_table is not None:
-            keys = keys.union(anchor_block_keys(prof.dataset, cfg))
-        return keys
+    def make_block_keys() -> rd.Dataset:
+        return block_keys(prof.dataset, cfg, include_anchors=dict_table is not None)
 
     from ..stages.pairs import bucket_of_block_keys, merge_pair_parts
 
@@ -169,7 +169,9 @@ def resolve_entities_checkpointed(
             return df[hb == bucket]
 
         return candidate_pairs(
-            block_keys().map_batches(only_bucket, batch_format="pandas"), cfg
+            make_block_keys().map_batches(only_bucket, batch_format="pandas"),
+            cfg,
+            est_rows=_est_key_rows(cfg, prof.dataset.count()) // n_buckets,
         )
 
     part_ids = [f"b{i}" for i in range(n_buckets)]

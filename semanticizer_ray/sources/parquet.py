@@ -28,7 +28,9 @@ _MIN_OVERRIDE_BYTES = 32 << 20  # below this, Ray's default sizing is fine
 _TARGET_BLOCK_BYTES = 16 << 20
 
 
-def _auto_num_blocks(path: str) -> int | None:
+def _auto_num_blocks(
+    path: str, lo_per_cpu: int = 2, hi_per_cpu: int = 4
+) -> int | None:
     """Block-count override for mid-sized inputs (module docstring)."""
     try:
         import ray
@@ -47,16 +49,28 @@ def _auto_num_blocks(path: str) -> int | None:
     if total < _MIN_OVERRIDE_BYTES:
         return None
     by_size = total // _TARGET_BLOCK_BYTES
-    if by_size >= 4 * cpus:
+    if by_size >= hi_per_cpu * cpus:
         return None  # big input: Ray's own sizing already yields ≥16MB blocks
-    return int(min(4 * cpus, max(2 * cpus, by_size)))
+    return int(min(hi_per_cpu * cpus, max(lo_per_cpu * cpus, by_size)))
 
 
 def read_transcripts(
     path: str, columns: list[str] | None = None, **kwargs
 ) -> rd.Dataset:
-    """Read a transcripts table (FIXTURES.md F1 schema) with column pruning."""
+    """Read a transcripts table (FIXTURES.md F1 schema) with column pruning.
+
+    Transcripts feed the pipeline's heaviest per-row compute (normalize +
+    shingle + anchor-match, ~300 µs/turn), so block count is sized at 4–6
+    blocks/CPU: with the default 2/CPU the 100k-tier partials pass ran 72
+    tasks of ~4.8 s on 32 cores — 2.25 waves, a third of the last wave
+    idle (measured: ~6 s of the stage's 18 s wall). Smaller blocks pack
+    waves tighter; the downstream conv-keyed sort moves the same bytes
+    either way."""
     cols = columns if columns is not None else TRANSCRIPT_COLUMNS
+    if "override_num_blocks" not in kwargs:
+        nb = _auto_num_blocks(path, lo_per_cpu=4, hi_per_cpu=6)
+        if nb is not None:
+            kwargs["override_num_blocks"] = nb
     return read_table(path, columns=cols, **kwargs)
 
 

@@ -39,6 +39,8 @@ quadratic step never moves text.
 from __future__ import annotations
 
 import hashlib
+import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -195,18 +197,58 @@ def merge_pair_parts(parts: rd.Dataset) -> rd.Dataset:
     )
 
 
-def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
+# coalesce gate for the block-key exchange: inputs estimated under this
+# many rows (~8 GB of key rows) right-size to ~4 MB blocks before sorting;
+# larger inputs already have adequately sized blocks
+_COALESCE_MAX_EST_ROWS = 200_000_000
+_KEY_ROW_BYTES = 40
+_COALESCE_BLOCK_BYTES = 4 << 20
+
+
+def candidate_pairs(
+    block_rows: rd.Dataset, cfg: EngineConfig, est_rows: int | None = None
+) -> rd.Dataset:
     """(block_key, conv_id) rows → deduplicated (conv_a, conv_b) pairs.
 
     One sorted exchange covers census + generation for both key families:
     LSH keys over the cap are SALTED (exact pair coverage must be
     preserved — a hot band is still a real near-dup signal); anchor "A:"
     keys over ``anchor_max_block_size`` are DROPPED with a log line (a
-    non-discriminative anchor is noise — see BlockingConfig)."""
+    non-discriminative anchor is noise — see BlockingConfig).
+
+    ``est_rows``: caller's estimate of the input row count (the ER pipeline
+    knows it exactly: profiles × keys-per-conv). Key rows are ~40 B, so a
+    mid-sized input inherits hundreds of sub-MB blocks from the profile
+    explode, and range-exchange overhead grows with block count at EVERY
+    cpu count (sampling, partial-block fan-out — a pure fixed cost). Below
+    ``_COALESCE_MAX_EST_ROWS`` the input is coalesced (shuffle=False — a
+    cheap streaming merge) to ~4 MB blocks first; at 10^12-turn scale the
+    estimate exceeds the gate and nothing changes.
+
+    ``GRAFT_TIMING=1`` prints per-step driver wall times (scaling work)."""
+    timing = os.environ.get("GRAFT_TIMING") == "1"
+    tprev = time.perf_counter()
+
+    def _t(label: str) -> None:
+        nonlocal tprev
+        if timing:
+            now = time.perf_counter()
+            print(f"[pairs-timing] {label}: {now - tprev:.2f}s")
+            tprev = now
+
     bcfg = cfg.blocking
     min_cap = min(bcfg.max_block_size, bcfg.anchor_max_block_size)
 
+    if est_rows is not None and 0 < est_rows <= _COALESCE_MAX_EST_ROWS:
+        import math
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        target = max(cpus, math.ceil(est_rows * _KEY_ROW_BYTES / _COALESCE_BLOCK_BYTES))
+        block_rows = block_rows.repartition(target)
+        _t(f"coalesce_to_{target}_blocks")
+
     sorted_ds = block_rows.sort("block_key").materialize()
+    _t("sort_block_rows")
 
     def census_block(df: pd.DataFrame) -> pd.DataFrame:
         """Per-block partial counts — only keys that might be hot (over the
@@ -227,6 +269,7 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
     partials = sorted_ds.map_batches(
         census_block, batch_format="pandas", batch_size=None
     ).to_pandas()
+    _t("census")
     if partials.empty or "block_key" not in partials.columns:
         hot: dict[str, int] = {}
     else:
@@ -307,6 +350,7 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
     all_pairs = sorted_apply_exact(
         sorted_ds, "block_key", gen_pairs_block, assume_sorted=True
     )
+    _t("gen_pairs(apply_exact incl. edge pass)")
 
     def dedup_combine(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -320,6 +364,7 @@ def candidate_pairs(block_rows: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
     deduped = sorted_grouped_agg(
         all_pairs, "pair_key", dedup_combine, driver_gate=DRIVER_GATE
     )
+    _t("pair_dedup(sorted_grouped_agg)")
 
     def split_key(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:

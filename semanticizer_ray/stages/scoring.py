@@ -356,26 +356,21 @@ def _edges_table(
 
 
 def build_side_state(profiles: rd.Dataset):
-    """Driver-side broadcast state for the fused scorer — ALL numpy so every
-    worker reads it ZERO-COPY from the object store (lists/dicts would be
+    """Broadcast state for the fused scorer — ALL numpy so every worker
+    reads it ZERO-COPY from the object store (lists/dicts would be
     re-pickled per worker, which dominated the old attach stage):
 
     (conv_ids sorted S-array, sig_mat uint64[n,H], heads U-array,
      chars f8[n], anchor_hash int64[n,M], anchor_w f8[n,M])
 
     Row lookup is a vectorized ``np.searchsorted``; anchor overlap works on
-    fixed-width label-hash matrices. The per-row packing (head truncation,
-    anchor-matrix hashing) runs DISTRIBUTED via ``build_side_rows`` — the
-    same rows the bucketed scatter path packs per shard, so the two paths
-    stay byte-identical — and the driver only concatenates fixed-width
-    buffers (was ~4 s of serial pandas/md5 work per run at the 50k tier)."""
-    import ray
-
-    tbl = pa.concat_tables(
-        ray.get(build_side_rows(profiles).to_arrow_refs()),
-        promote_options="default",
-    )
-    return ray.put(_pack_side_table(tbl))
+    fixed-width label-hash matrices. Both the per-row packing AND the final
+    concat+sort pack run OFF-driver (the single-bucket case of the scatter
+    path's ``build_bucket_states`` — the identical ``_pack_side_table``
+    code, so the two scoring paths stay byte-identical). The driver-side
+    pack this replaces measured 9 s of serial time at the 100k-conv tier —
+    pure non-scaling floor."""
+    return build_bucket_states(profiles, 1)[0]
 
 
 def score_pairs_fused(
@@ -412,27 +407,67 @@ def score_pairs_fused(
     return pairs.map_batches(score, batch_format="pyarrow", batch_size=4096)
 
 
+# fixed-width side-payload layout: id bytes and UCS4 head chars per row.
+# The width caps exist so every encode/pack step is a numpy buffer op —
+# the old string-column pack (np.asarray(100k python strings, "U"/"S"))
+# measured ~9 s of single-thread time at the 100k-conv tier, a pure
+# non-scaling floor. Ids wider than MAX_ID_BYTES raise (same contract as
+# the scorer's id-width guard).
+MAX_ID_BYTES = 64
+HEAD_CHARS = max(LEV_CAP, JW_CAP)
+
+
+def _fixed_binary(buf: bytes, n: int, width: int) -> pa.Array:
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(width), n, [None, pa.py_buffer(buf)]
+    )
+
+
+def _fixed_view(tbl: pa.Table, col: str, dtype, width_bytes: int) -> np.ndarray:
+    """Zero-copy numpy view of a fixed_size_binary column (no nulls)."""
+    c = tbl[col].combine_chunks()
+    n = len(c)
+    count = n * width_bytes // np.dtype(dtype).itemsize
+    return np.frombuffer(
+        c.buffers()[1], dtype=dtype, count=count, offset=c.offset * width_bytes
+    )
+
+
 def build_side_rows(profiles: rd.Dataset) -> rd.Dataset:
-    """Per-conv compact payload rows (one short row per conversation;
-    anchor matrices pre-packed to fixed-width binary): the distributed
-    precursor of both the broadcast side state and the bucketed scatter
-    states — one construction, so the two scoring paths stay
-    byte-identical."""
+    """Per-conv compact payload rows (one short row per conversation; every
+    payload column pre-encoded to fixed-width binary IN the workers): the
+    distributed precursor of both the broadcast side state and the bucketed
+    scatter states — one construction, so the two scoring paths stay
+    byte-identical. ``ckey`` stays a plain string column for bucket
+    hashing; ``ckeyw`` is its fixed-width encoding for the packed state."""
     import pyarrow.compute as pc
 
     def shrink(batch: pa.Table) -> pa.Table:
-        head = pc.utf8_slice_codeunits(batch["text_head"], 0, max(LEV_CAP, JW_CAP))
+        n = batch.num_rows
+        ids = batch["conv_id"].to_pylist()
+        ids_s = np.asarray(ids, dtype="S")  # ASCII ids (raises otherwise)
+        if n and ids_s.dtype.itemsize > MAX_ID_BYTES:
+            raise ValueError(
+                f"conv_id wider than {MAX_ID_BYTES} bytes "
+                f"({ids_s.dtype.itemsize}) — raise MAX_ID_BYTES"
+            )
+        ids_w = ids_s.astype(f"S{MAX_ID_BYTES}")
+        head = pc.utf8_slice_codeunits(batch["text_head"], 0, HEAD_CHARS)
+        head_u = np.asarray(head.to_pylist(), dtype=f"U{HEAD_CHARS}")
         ah, aw = _anchor_matrices(
             batch["anchor_labels"].to_pylist(), batch["anchor_weights"].to_pylist()
         )
+        sig = batch["sig"].combine_chunks()
+        sig_width = len(sig[0].as_py()) if n else 8
         return pa.table(
             {
                 "ckey": batch["conv_id"],
-                "sig": batch["sig"],
-                "head": head,
+                "ckeyw": _fixed_binary(ids_w.tobytes(), n, MAX_ID_BYTES),
+                "sig": _fixed_binary(b"".join(sig.to_pylist()), n, sig_width),
+                "head": _fixed_binary(head_u.tobytes(), n, HEAD_CHARS * 4),
                 "n_chars": pc.cast(batch["n_chars"], pa.float64()),
-                "ah": pa.array([r.tobytes() for r in ah], pa.binary()),
-                "aw": pa.array([r.tobytes() for r in aw], pa.binary()),
+                "ah": _fixed_binary(ah.tobytes(), n, 8 * MAX_SIDE_ANCHORS),
+                "aw": _fixed_binary(aw.tobytes(), n, 8 * MAX_SIDE_ANCHORS),
             }
         )
 
@@ -445,7 +480,9 @@ def _pack_side_table(tbl: pa.Table):
     """Side-payload rows (``build_side_rows`` schema) → the all-numpy state
     tuple used by the scoring kernel: (conv_ids sorted S-array, sig_mat
     uint64[n,H], heads U-array, chars f8[n], anchor_hash int64[n,M],
-    anchor_w f8[n,M])."""
+    anchor_w f8[n,M]). Every column is a zero-copy buffer view + one
+    argsort + one gather — no per-row python work (see the layout note
+    above ``MAX_ID_BYTES``)."""
     n = tbl.num_rows
     if n == 0:
         return (
@@ -456,18 +493,17 @@ def _pack_side_table(tbl: pa.Table):
             np.empty((0, MAX_SIDE_ANCHORS), dtype=np.int64),
             np.empty((0, MAX_SIDE_ANCHORS), dtype=np.float64),
         )
-    convs = np.asarray(tbl["ckey"].to_pylist(), dtype="S")
+    convs = _fixed_view(tbl, "ckeyw", f"S{MAX_ID_BYTES}", MAX_ID_BYTES)
     order = np.argsort(convs)
     convs = convs[order]
-    sig_mat = np.frombuffer(b"".join(tbl["sig"].to_pylist()), dtype=np.uint64).reshape(
-        n, -1
-    )[order]
-    heads = np.asarray(tbl["head"].to_pylist(), dtype="U")[order]
+    sig_width = tbl.schema.field("sig").type.byte_width
+    sig_mat = _fixed_view(tbl, "sig", np.uint64, sig_width).reshape(n, -1)[order]
+    heads = _fixed_view(tbl, "head", f"U{HEAD_CHARS}", HEAD_CHARS * 4)[order]
     chars = tbl["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
-    a_hash = np.frombuffer(b"".join(tbl["ah"].to_pylist()), dtype=np.int64).reshape(
+    a_hash = _fixed_view(tbl, "ah", np.int64, 8 * MAX_SIDE_ANCHORS).reshape(
         n, MAX_SIDE_ANCHORS
     )[order]
-    a_w = np.frombuffer(b"".join(tbl["aw"].to_pylist()), dtype=np.float64).reshape(
+    a_w = _fixed_view(tbl, "aw", np.float64, 8 * MAX_SIDE_ANCHORS).reshape(
         n, MAX_SIDE_ANCHORS
     )[order]
     return convs, sig_mat, heads, chars, a_hash, a_w
@@ -681,8 +717,12 @@ def score_pairs(
     its pack) for the F3 context feature. Unlike the per-record side table,
     this is vocabulary-sized statistical metadata — broadcast on BOTH paths
     (one ``ray.put``), like the anchor dictionary itself."""
+    import os
+    import time
+
     import ray
 
+    t0 = time.perf_counter()
     rel_ref = None
     if relatedness is not None:
         if isinstance(relatedness, ray.ObjectRef):
@@ -690,7 +730,11 @@ def score_pairs(
         else:
             rel_ref = ray.put(relatedness.pack())
     if profiles.count() <= cfg.scoring.side_broadcast_gate:
-        return score_pairs_fused(pairs, build_side_state(profiles), cfg, rel_ref)
+        state = build_side_state(profiles)
+        if os.environ.get("GRAFT_TIMING") == "1":
+            ray.wait([state], fetch_local=False)
+            print(f"[scoring-timing] side_state build: {time.perf_counter() - t0:.2f}s")
+        return score_pairs_fused(pairs, state, cfg, rel_ref)
     return score_pairs_scatter(pairs, profiles, cfg, rel_ref)
 
 

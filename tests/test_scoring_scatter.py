@@ -81,18 +81,27 @@ def test_gate_routes_by_profile_count(scored_inputs):
 def test_fused_raises_on_overwide_pair_id(ray_session, scored_inputs):
     """ADVICE r2: a pair conv_id wider than the side table's fixed-width id
     dtype must raise BEFORE the cast — a truncation that prefix-collides
-    with a real id would otherwise silently score the wrong profile."""
+    with a real id would otherwise silently score the wrong profile. The
+    side table pads ids to MAX_ID_BYTES, so the guard fires for ids wider
+    than that; anything at or under the pad width is looked up exactly
+    (and a ghost id hits the membership check instead — separate test)."""
     import ray.data as rd
 
-    from semanticizer_ray.stages.scoring import build_side_state, score_pairs_fused
+    from semanticizer_ray.stages.scoring import (
+        MAX_ID_BYTES,
+        build_side_state,
+        score_pairs_fused,
+    )
 
     cfg, profiles, _ = scored_inputs
     real = profiles.take(1)[0]["conv_id"]
+    # prefix-collision shape: real id + suffix pushing it past the pad width
+    wide_id = real + "-x" * MAX_ID_BYTES
+    assert len(wide_id.encode()) > MAX_ID_BYTES
     wide = rd.from_pandas(
         pd.DataFrame(
             {
-                # prefix-collision shape: real id + suffix
-                "conv_a": [real + "-deliberately-much-wider-than-any-real-id"],
+                "conv_a": [wide_id],
                 "conv_b": [real],
                 "block_id": ["b"],
                 "block_overflow": [0],

@@ -140,3 +140,45 @@ def test_candidate_pairs_overflow_counted(ray_session):
     out = candidate_pairs(rd.from_pandas(rows), cfg).to_pandas()
     assert len(out) == 100
     assert (out["block_overflow"] > 0).all()  # no silent caps
+
+
+def test_fused_block_keys_equals_union(ray_session, transcripts_ds):
+    """block_keys(include_anchors=...) is row-identical (up to order) to
+    lsh_block_keys ∪ anchor_block_keys — the fused explode only changes
+    block layout."""
+    from semanticizer_ray.stages.blocking import (
+        anchor_block_keys,
+        block_keys,
+        lsh_block_keys,
+    )
+
+    cfg = EngineConfig()
+    profiles = conv_profiles(normalize_turns(transcripts_ds, cfg), cfg).materialize()
+    fused = (
+        block_keys(profiles, cfg, include_anchors=True)
+        .to_pandas()
+        .sort_values(["conv_id", "block_key"])
+        .reset_index(drop=True)
+    )
+    union = (
+        lsh_block_keys(profiles, cfg)
+        .union(anchor_block_keys(profiles, cfg))
+        .to_pandas()
+        .sort_values(["conv_id", "block_key"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fused, union)
+
+    lsh_only = (
+        block_keys(profiles, cfg, include_anchors=False)
+        .to_pandas()
+        .sort_values(["conv_id", "block_key"])
+        .reset_index(drop=True)
+    )
+    lsh_union = (
+        lsh_block_keys(profiles, cfg)
+        .to_pandas()
+        .sort_values(["conv_id", "block_key"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(lsh_only, lsh_union)

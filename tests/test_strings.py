@@ -12,7 +12,7 @@ from semanticizer_ray.functions.strings import (
 )
 
 
-def _lev_naive(a: str, b: str) -> int:
+def _lev_naive(a: bytes, b: bytes) -> int:
     n, m = len(a), len(b)
     d = [[0] * (m + 1) for _ in range(n + 1)]
     for i in range(n + 1):
@@ -40,7 +40,10 @@ def test_levenshtein_known():
 @settings(max_examples=200, deadline=None)
 @given(st.text(max_size=20), st.text(max_size=20))
 def test_levenshtein_matches_naive(a, b):
-    want = 1.0 if a == b else (1 - _lev_naive(a, b) / max(len(a), len(b)))
+    # the metric is DEFINED over UTF-8 bytes (strings.py module docstring);
+    # identical to char-level for ASCII
+    ab, bb = a.encode("utf-8"), b.encode("utf-8")
+    want = 1.0 if ab == bb else (1 - _lev_naive(ab, bb) / max(len(ab), len(bb)))
     assert levenshtein_ratio(a, b) == pytest.approx(want)
 
 
