@@ -54,6 +54,108 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(h)
 
 
+def shingle_hashes_multi(texts: list[str], k: int) -> list[np.ndarray]:
+    """Per-text raw k-shingle window hashes for a whole batch, ONE encode +
+    ONE windowing pass over the concatenated code-point buffer (boundary
+    windows masked out). Hash values are identical to ``shingle_hashes``;
+    outputs are NOT deduplicated (callers that union across texts unique
+    once per group — cheaper than per-text unique, same resulting set).
+    Texts shorter than ``k`` (incl. empty) take the scalar path: their
+    single whole-text shingle uses a different window width."""
+    n = len(texts)
+    if n == 0:
+        return []
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    out: list[np.ndarray] = [None] * n  # type: ignore[list-item]
+    short = lens < k
+    for i in np.flatnonzero(short):
+        out[i] = shingle_hashes(texts[i], k)
+    long_idx = np.flatnonzero(~short)
+    if len(long_idx) == 0:
+        return out
+    big = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    with np.errstate(**_ERR):
+        windows = np.lib.stride_tricks.sliding_window_view(big, k)
+        mult = np.power(np.uint64(1099511628211), np.arange(k, dtype=np.uint64))
+        # chunked matvec: bound the (chunk, k) uint64 temp
+        h_all = np.empty(len(windows), dtype=np.uint64)
+        CH = 1 << 19
+        for lo in range(0, len(windows), CH):
+            w = windows[lo : lo + CH].astype(np.uint64)
+            h_all[lo : lo + CH] = (w * mult).sum(axis=1, dtype=np.uint64)
+        h_all ^= h_all >> np.uint64(33)
+        h_all *= np.uint64(0xFF51AFD7ED558CCD)
+        h_all ^= h_all >> np.uint64(33)
+    for i in long_idx:
+        out[i] = h_all[offs[i] : offs[i] + lens[i] - k + 1]
+    return out
+
+
+def minhash_from_shingle_groups(
+    groups: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """MinHash signatures, one row per shingle-hash GROUP (each group =
+    the deduplicated shingle set of one record), computed with chunked
+    ``np.minimum.reduceat`` over the concatenated hash array — replaces a
+    per-record python loop of small (num_hashes × n_shingles) products.
+    Chunks align to group boundaries so each reduceat is self-contained.
+
+    With the native kernel present the same arithmetic runs in C with the
+    running mins in a stack array — the numpy path materializes an
+    (H, total_shingles) product, ~1 GB of DRAM churn per 8k-turn batch,
+    which is exactly the kind of bandwidth pressure that stops a 32-core
+    node from scaling."""
+    H = len(a)
+    n = len(groups)
+    sig = np.full((n, H), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n == 0:
+        return sig
+    from .native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+
+        sh = np.ascontiguousarray(np.concatenate(groups))
+        sizes = np.fromiter((len(g) for g in groups), dtype=np.int64, count=n)
+        ends = np.cumsum(sizes)
+        starts = ends - sizes
+        p_u64 = ctypes.POINTER(ctypes.c_uint64)
+        p_i64 = ctypes.POINTER(ctypes.c_int64)
+        lib.batch_minhash(
+            sh.ctypes.data_as(p_u64),
+            starts.ctypes.data_as(p_i64),
+            ends.ctypes.data_as(p_i64),
+            n,
+            np.ascontiguousarray(a).ctypes.data_as(p_u64),
+            np.ascontiguousarray(b).ctypes.data_as(p_u64),
+            H,
+            sig.ctypes.data_as(p_u64),
+        )
+        return sig
+    CH = 1 << 16  # ~64 MB peak temp at H=128
+    with np.errstate(**_ERR):
+        g0 = 0
+        while g0 < n:
+            g1, total = g0, 0
+            while g1 < n and (total == 0 or total + len(groups[g1]) <= CH):
+                total += len(groups[g1])
+                g1 += 1
+            sizes = np.fromiter(
+                (len(groups[g]) for g in range(g0, g1)), dtype=np.int64, count=g1 - g0
+            )
+            nonempty = sizes > 0
+            if total:
+                sh = np.concatenate([groups[g] for g in range(g0, g1)])
+                starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))[nonempty]
+                vals = a[:, None] * sh[None, :] + b[:, None]  # (H, total)
+                mins = np.minimum.reduceat(vals, starts, axis=1)  # (H, k)
+                sig[g0:g1][nonempty] = mins.T
+            g0 = g1
+    return sig
+
+
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
     """MinHash signature (uint64[num_hashes]) of a text's char-k-shingles."""
     sh = shingle_hashes(text, k)

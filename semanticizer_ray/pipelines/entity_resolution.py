@@ -59,11 +59,20 @@ def resolve_entities(
     normalized = normalize_turns(transcripts, cfg)
     profiles = conv_profiles(normalized, cfg, dict_source=anchor_dict_source).materialize()
 
+    # launch the scoring side-state build NOW: it depends only on the
+    # materialized profiles, and its pack task(s) overlap the pair stage's
+    # sorted exchanges instead of sitting on the critical path
+    from ..stages.scoring import prepare_side_state
+
+    side = prepare_side_state(profiles, cfg)
+
     keys = block_keys(profiles, cfg, include_anchors=anchor_dict_source is not None)
 
     pairs = candidate_pairs(keys, cfg, est_rows=_est_key_rows(cfg, profiles.count()))
 
-    edges = score_pairs(pairs, profiles, cfg, relatedness=relatedness).materialize()
+    edges = score_pairs(
+        pairs, profiles, cfg, relatedness=relatedness, prepared=side
+    ).materialize()
     clusters = cluster_edges(
         edges, profiles.select_columns(["conv_id"]), cfg, num_partitions
     )

@@ -92,10 +92,23 @@ class AnchorMatcher:
         toks = _TOKEN.findall(norm_text)
         out: dict[str, tuple[int, float, int]] = {}
         lookup = self.dict.lookup
+        multi_first = self.dict.multi_first
         max_n = self.max_n
         n_tok = len(toks)
         for i in range(n_tok):
-            for n in range(1, max_n + 1):
+            # unigram: the token IS the surface (no join)
+            for e in lookup(toks[i]):
+                lab = e["label"]
+                if lab in out:
+                    c, lp, ld = out[lab]
+                    out[lab] = (c + 1, lp, ld)
+                else:
+                    out[lab] = (1, e["link_probability"], e["link_doc"])
+            # n≥2 grams only where some multiword anchor starts with this
+            # token — skips the surface-string join almost everywhere
+            if toks[i] not in multi_first:
+                continue
+            for n in range(2, max_n + 1):
                 if i + n > n_tok:
                     break
                 surface = " ".join(toks[i : i + n])

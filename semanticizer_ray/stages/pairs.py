@@ -28,8 +28,9 @@ suffices):
    key are generated in the task that owns its group (the boundary
    remainder for straddlers), bounded by MAX_SALT²/2 · max_pairs_per_block
    pairs — at most ~128k rows per degenerate key at the defaults;
-4. global pair dedup: one ``sorted_grouped_agg`` on the combined pair key
-   (a pair found by many bands is scored once; lineage keeps min block_id).
+4. global pair dedup: one two-key sorted exchange on (conv_a, conv_b) with
+   a vectorized reduceat combine (a pair found by many bands is scored
+   once; lineage keeps min block_id).
 
 Rows entering the shuffle are (block_key, conv_id) only — profiles/features
 are attached to the deduplicated pairs afterwards (stage T8), so the
@@ -66,7 +67,6 @@ MAX_SALT = 8
 # pipeline docs): conv ids and anchor labels must not contain "\x1f" —
 # no natural-language normalizer output does.
 SALT_SEP = "\x1fs"  # block_key + SALT_SEP + "<s>:<lo>-<hi>"
-PAIR_SEP = "\x1f"  # conv_a + PAIR_SEP + conv_b
 
 # Count gate for the driver-side fast path in censuses / pair dedup: small
 # (test-tier) inputs skip distributed sorts; anything bigger takes the
@@ -133,12 +133,13 @@ def _hot_plan(hot: dict[str, int], cfg: EngineConfig) -> dict[str, int]:
 
 def _salted_group_pairs(
     key: str, members: list[str], s: int, max_pairs: int
-) -> tuple[list[str], list[str], list[int]]:
+) -> tuple[list[str], list[str], list[str], list[int]]:
     """All-pairs of one hot key, partitioned into the s(s+1)/2 salted
     sub-blocks of the triangle-replication scheme — identical pair set,
     block_id labels, and per-sub-block overflow accounting as the old
     explode-then-shuffle path, computed locally from the complete group."""
-    out_pk: list[str] = []
+    out_a: list[str] = []
+    out_b: list[str] = []
     out_block: list[str] = []
     out_over: list[int] = []
     buckets: list[list[str]] = [[] for _ in range(s)]
@@ -163,10 +164,51 @@ def _salted_group_pairs(
             if overflow:
                 pairs = pairs[:max_pairs]
             label = f"{key}{SALT_SEP}{s}:{lo}-{hi}"
-            out_pk.extend(f"{a}{PAIR_SEP}{b}" for a, b in pairs)
+            out_a.extend(a for a, _ in pairs)
+            out_b.extend(b for _, b in pairs)
             out_block.extend([label] * len(pairs))
             out_over.extend([overflow] * len(pairs))
-    return out_pk, out_block, out_over
+    return out_a, out_b, out_block, out_over
+
+
+def _pairs_sorted(a: np.ndarray, b: np.ndarray) -> bool:
+    """True iff (a, b) rows are lexicographically non-decreasing."""
+    if len(a) < 2:
+        return True
+    a_prev, a_next = a[:-1], a[1:]
+    lt = a_prev < a_next
+    eq = a_prev == a_next
+    return bool(np.all(lt | (eq & (b[:-1] <= b[1:]))))
+
+
+def dedup_pairs_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """One row per (conv_a, conv_b): min block_id, max block_overflow —
+    vectorized via group-boundary reduceat instead of a pandas string
+    groupby (measured ~185 core-s of hash-table build over the 100k-tier
+    pair set). Sorted input (the common case — every caller in the dedup
+    path hands over key-sorted frames) skips the lexsort."""
+    if len(df) == 0:
+        return df
+    a = df["conv_a"].to_numpy()
+    b = df["conv_b"].to_numpy()
+    blk = df["block_id"].to_numpy()
+    over = df["block_overflow"].to_numpy()
+    if not _pairs_sorted(a, b):
+        order = np.lexsort((b, a))
+        a, b, blk, over = a[order], b[order], blk[order], over[order]
+    starts = group_starts(a, b)
+    # lexicographic min of block_id per group via sort-ordered factorize
+    codes, uniq = pd.factorize(blk, sort=True)
+    min_codes = np.minimum.reduceat(codes, starts)
+    max_over = np.maximum.reduceat(over, starts)
+    return pd.DataFrame(
+        {
+            "conv_a": a[starts],
+            "conv_b": b[starts],
+            "block_id": uniq[min_codes],
+            "block_overflow": max_over,
+        }
+    )
 
 
 def bucket_of_block_keys(keys: "np.ndarray", num_buckets: int) -> "np.ndarray":
@@ -182,18 +224,11 @@ def merge_pair_parts(parts: rd.Dataset) -> rd.Dataset:
     pairs (a pair found via keys in two different buckets appears twice
     across parts; same min-block_id / max-overflow combine as the
     in-stage dedup)."""
-
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df
-        return (
-            df.groupby(["conv_a", "conv_b"], sort=False)
-            .agg(block_id=("block_id", "min"), block_overflow=("block_overflow", "max"))
-            .reset_index()
-        )
-
     return sorted_grouped_agg(
-        parts, ["conv_a", "conv_b"], combine, driver_gate=DRIVER_GATE
+        parts,
+        ["conv_a", "conv_b"],
+        dedup_pairs_frame,
+        driver_gate=DRIVER_GATE,
     )
 
 
@@ -281,13 +316,21 @@ def candidate_pairs(
     max_pairs = bcfg.max_pairs_per_block
 
     def gen_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
-        """All complete key groups of one block → pair rows (vectorized
-        group iteration via boundary indices). Size-1 groups (the vast
-        majority of LSH bands) are skipped wholesale; size-2 plain groups
-        emit their single pair vectorized — only size≥3 or planned (hot)
-        groups loop."""
+        """All complete key groups of one block → (conv_a, conv_b) pair rows
+        (vectorized group iteration via boundary indices). Size-1 groups
+        (the vast majority of LSH bands) are skipped wholesale; size-2
+        plain groups emit their single pair vectorized — only size≥3 or
+        planned (hot) groups loop. Emits endpoint COLUMNS directly: the old
+        path built an f-string pair key per pair here and split it back
+        after the dedup — ~1.2 M string constructions per run at the
+        100k-conv tier, all pure overhead."""
         hot_map: dict[str, int] = ray.get(plan_ref)
-        out_pk: list[str] = []
+        arrs_a: list[np.ndarray] = []
+        arrs_b: list[np.ndarray] = []
+        arrs_block: list[np.ndarray] = []
+        arrs_over: list[np.ndarray] = []
+        out_a: list[str] = []
+        out_b: list[str] = []
         out_block: list[str] = []
         out_over: list[int] = []
         if len(df):
@@ -310,11 +353,10 @@ def candidate_pairs(
                 else:
                     plain = np.ones(len(two), dtype=bool)
                 keep2 = plain & (a2 != b2)
-                out_pk.extend(
-                    f"{a}{PAIR_SEP}{b}" for a, b in zip(a2[keep2], b2[keep2])
-                )
-                out_block.extend(k2[keep2])
-                out_over.extend([0] * int(keep2.sum()))
+                arrs_a.append(a2[keep2])
+                arrs_b.append(b2[keep2])
+                arrs_block.append(k2[keep2])
+                arrs_over.append(np.zeros(int(keep2.sum()), dtype=np.int64))
                 slow_from_two = list(two[~plain])  # planned size-2 → loop
             slow = list(np.flatnonzero(sizes > 2)) + slow_from_two
             for gi in slow:
@@ -325,8 +367,11 @@ def candidate_pairs(
                 if s == 0:
                     continue  # dropped non-discriminative anchor key
                 if s >= 2:
-                    pk, blk, over = _salted_group_pairs(key, members, s, max_pairs)
-                    out_pk.extend(pk)
+                    ga, gb, blk, over = _salted_group_pairs(
+                        key, members, s, max_pairs
+                    )
+                    out_a.extend(ga)
+                    out_b.extend(gb)
                     out_block.extend(blk)
                     out_over.extend(over)
                     continue
@@ -336,14 +381,29 @@ def candidate_pairs(
                 overflow = max(0, len(pairs) - max_pairs)
                 if overflow:
                     pairs = pairs[:max_pairs]
-                out_pk.extend(f"{a}{PAIR_SEP}{b}" for a, b in pairs)
+                out_a.extend(a for a, _ in pairs)
+                out_b.extend(b for _, b in pairs)
                 out_block.extend([key] * len(pairs))
                 out_over.extend([overflow] * len(pairs))
+        if out_a:
+            arrs_a.append(np.asarray(out_a, dtype=object))
+            arrs_b.append(np.asarray(out_b, dtype=object))
+            arrs_block.append(np.asarray(out_block, dtype=object))
+            arrs_over.append(np.asarray(out_over, dtype=np.int64))
+        cat = lambda parts: (  # noqa: E731
+            np.concatenate(parts) if parts else np.empty(0, dtype=object)
+        )
         return pd.DataFrame(
             {
-                "pair_key": pd.Series(out_pk, dtype="str"),
-                "block_id": pd.Series(out_block, dtype="str"),
-                "block_overflow": pd.Series(out_over, dtype="int64"),
+                "conv_a": pd.Series(cat(arrs_a), dtype="str"),
+                "conv_b": pd.Series(cat(arrs_b), dtype="str"),
+                "block_id": pd.Series(cat(arrs_block), dtype="str"),
+                "block_overflow": pd.Series(
+                    np.concatenate(arrs_over)
+                    if arrs_over
+                    else np.empty(0, dtype=np.int64),
+                    dtype="int64",
+                ),
             }
         )
 
@@ -352,38 +412,14 @@ def candidate_pairs(
     )
     _t("gen_pairs(apply_exact incl. edge pass)")
 
-    def dedup_combine(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df
-        return (
-            df.groupby("pair_key", sort=False)
-            .agg(block_id=("block_id", "min"), block_overflow=("block_overflow", "max"))
-            .reset_index()
-        )
-
+    # one two-key sorted exchange dedups; no pre-combine (measured: the
+    # per-batch pre-dedup removed 2.6% of rows at the 100k tier — pure cost)
     deduped = sorted_grouped_agg(
-        all_pairs, "pair_key", dedup_combine, driver_gate=DRIVER_GATE
+        all_pairs,
+        ["conv_a", "conv_b"],
+        dedup_pairs_frame,
+        pre_combine=False,
+        driver_gate=DRIVER_GATE,
     )
-    _t("pair_dedup(sorted_grouped_agg)")
-
-    def split_key(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {
-                    "conv_a": pd.Series(dtype="str"),
-                    "conv_b": pd.Series(dtype="str"),
-                    "block_id": pd.Series(dtype="str"),
-                    "block_overflow": pd.Series(dtype="int64"),
-                }
-            )
-        ab = df["pair_key"].str.split(PAIR_SEP, n=1, expand=True)
-        return pd.DataFrame(
-            {
-                "conv_a": ab[0],
-                "conv_b": ab[1],
-                "block_id": df["block_id"],
-                "block_overflow": df["block_overflow"],
-            }
-        )
-
-    return deduped.map_batches(split_key, batch_format="pandas")
+    _t("pair_dedup(sorted_apply_exact)")
+    return deduped

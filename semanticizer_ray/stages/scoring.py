@@ -240,28 +240,46 @@ def _anchor_matrices(labels: list, weights: list) -> tuple[np.ndarray, np.ndarra
     return a_hash, a_w
 
 
+def _sense_indices(ah: np.ndarray, rel_pack) -> np.ndarray:
+    """Label-hash matrix → sense indices (-1 = unknown). Pure function of
+    the rows, so callers hoist it to once PER CONVERSATION (worker-cached on
+    the side state) instead of once per pair side — the per-pair batch
+    version paid two (n, M) double-searchsorted passes per 4096 pairs."""
+    label_hash, label_sense, senses, _pair_keys, _pair_rel = rel_pack
+    pos = np.searchsorted(label_hash, ah)
+    pos = np.minimum(pos, len(label_hash) - 1)
+    known = (label_hash[pos] == ah) & (ah != 0)
+    sidx = np.searchsorted(senses, label_sense[pos])
+    return np.where(known, sidx, -1)
+
+
 def _ctx_relatedness_batch(
-    ah_a: np.ndarray, aw_a: np.ndarray, ah_b: np.ndarray, aw_b: np.ndarray, rel_pack
+    ah_a: np.ndarray,
+    aw_a: np.ndarray,
+    ah_b: np.ndarray,
+    aw_b: np.ndarray,
+    rel_pack,
+    heq: np.ndarray | None = None,
+    sa: np.ndarray | None = None,
+    sb: np.ndarray | None = None,
 ) -> np.ndarray:
     """Vectorized F3 kernel over the fixed-width anchor matrices. Twin of
-    ``_ctx_relatedness_scalar`` — identical float ops, parity-tested."""
+    ``_ctx_relatedness_scalar`` — identical float ops, parity-tested.
+    ``heq``/``sa``/``sb``: optional precomputed label-equality cube and
+    per-row sense indices (the hot path shares heq with the anchor-overlap
+    kernel and hoists sense lookup per conversation)."""
     n = len(ah_a)
     # rel matrix per pair: 1.0 on equal label hashes (padding 0 never equal)
-    heq = (ah_a[:, :, None] == ah_b[:, None, :]) & (ah_a[:, :, None] != 0)
+    if heq is None:
+        heq = (ah_a[:, :, None] == ah_b[:, None, :]) & (ah_a[:, :, None] != 0)
     rel_mat = heq.astype(np.float64)
     if rel_pack is not None and len(rel_pack[0]):
-        label_hash, label_sense, senses, pair_keys, pair_rel = rel_pack
+        _label_hash, _label_sense, senses, pair_keys, pair_rel = rel_pack
         v = len(senses)
-
-        def to_sidx(ah: np.ndarray) -> np.ndarray:
-            pos = np.searchsorted(label_hash, ah)
-            pos = np.minimum(pos, len(label_hash) - 1)
-            known = (label_hash[pos] == ah) & (ah != 0)
-            sidx = np.searchsorted(senses, label_sense[pos])
-            return np.where(known, sidx, -1)
-
-        sa = to_sidx(ah_a)  # (n, M)
-        sb = to_sidx(ah_b)
+        if sa is None:
+            sa = _sense_indices(ah_a, rel_pack)  # (n, M)
+        if sb is None:
+            sb = _sense_indices(ah_b, rel_pack)
         lo = np.minimum(sa[:, :, None], sb[:, None, :]).astype(np.int64)
         hi = np.maximum(sa[:, :, None], sb[:, None, :]).astype(np.int64)
         valid = lo >= 0
@@ -291,11 +309,15 @@ def _feature_arrays(
     ah_b: np.ndarray,
     aw_b: np.ndarray,
     rel_pack=None,
+    sidx_a: np.ndarray | None = None,
+    sidx_b: np.ndarray | None = None,
 ) -> tuple[np.ndarray, ...]:
     """Vectorized per-pair features over aligned row arrays — the ONE
     scoring kernel shared by the broadcast (``score_pairs_fused``) and
     scatter/gather (``score_pairs_scatter``) paths: identical float ops →
-    byte-identical edges (asserted by the parity test)."""
+    byte-identical edges (asserted by the parity test).
+    ``sidx_a``/``sidx_b``: optional pre-gathered sense indices for the F3
+    kernel (hoisted per conversation by the hot paths)."""
     n = len(chars_a)
     if n == 0:
         e = np.empty(0)
@@ -309,15 +331,20 @@ def _feature_arrays(
     ).sum(axis=(1, 2))
     union = aw_a.sum(axis=1) + aw_b.sum(axis=1)
     ao = np.where(union > 0, shared / np.where(union > 0, union, 1.0), 0.0)
-    ctx = _ctx_relatedness_batch(ah_a, aw_a, ah_b, aw_b, rel_pack)
+    ctx = _ctx_relatedness_batch(
+        ah_a, aw_a, ah_b, aw_b, rel_pack, heq=match, sa=sidx_a, sb=sidx_b
+    )
     hi = np.maximum(np.maximum(chars_a, chars_b), 1.0)
     lr = np.minimum(chars_a, chars_b) / hi
     jw = jac.copy()
     lv = jac.copy()
     band = np.flatnonzero((jac > CASCADE_LO) & (jac < CASCADE_HI))
     if len(band):
-        ha = np.asarray(heads_a[band], dtype=object)
-        hb = np.asarray(heads_b[band], dtype=object)
+        # heads stay fixed-width U arrays end-to-end: the batch kernels
+        # view the UCS4 buffer directly (an object-array round-trip here
+        # measured ~30 ms/batch of pure string materialization)
+        ha = heads_a[band]
+        hb = heads_b[band]
         jw[band] = batch_jaro_winkler(ha, hb, cap=JW_CAP)
         lv[band] = batch_levenshtein_ratio(ha, hb, cap=LEV_CAP)
     return jac, jw, lv, ao, ctx, lr
@@ -393,12 +420,15 @@ def score_pairs_fused(
             _SIDE_CACHE.clear()
             _SIDE_CACHE[key] = st
         rel_pack = _get_rel_pack(rel_ref)
+        sidx = _sidx_for_state(
+            st, key, rel_pack, None if rel_ref is None else rel_ref.hex()
+        )
         # same kernel as the bucketed scatter path (one state for both
         # sides) — incl. the id-width guard before the fixed-width cast and
         # the membership check (ADVICE r2)
         return _gather_and_score(
             st, st, batch["conv_a"], batch["conv_b"], batch["block_id"],
-            rel_pack, scfg,
+            rel_pack, scfg, sidx_full_a=sidx, sidx_full_b=sidx,
         )
 
     # 4096-row batches: kernels amortize fully by ~2k rows, and ~2× more
@@ -509,12 +539,36 @@ def _pack_side_table(tbl: pa.Table):
     return convs, sig_mat, heads, chars, a_hash, a_w
 
 
+def _sidx_for_state(state, state_key, rel_pack, rel_key) -> np.ndarray | None:
+    """Per-conversation sense indices for a side state, computed once per
+    worker per (state, relatedness) pair and cached — the F3 lookup is a
+    pure function of the state's anchor-hash matrix, so recomputing it per
+    pair batch (two double-searchsorted passes over (n, M)) was waste."""
+    if rel_pack is None or not len(rel_pack[0]):
+        return None
+    key = ("sidx", state_key, rel_key)
+    sidx = _SIDX_CACHE.get(key)
+    if sidx is None:
+        sidx = _sense_indices(state[4], rel_pack)
+        if len(_SIDX_CACHE) >= _BUCKET_CACHE_MAX:
+            _SIDX_CACHE.clear()
+        _SIDX_CACHE[key] = sidx
+    return sidx
+
+
+_SIDX_CACHE: dict = {}
+
+
 def _gather_and_score(
-    st_a, st_b, conv_a, conv_b, block_id, rel_pack, scfg: ScoringConfig
+    st_a, st_b, conv_a, conv_b, block_id, rel_pack, scfg: ScoringConfig,
+    sidx_full_a: np.ndarray | None = None,
+    sidx_full_b: np.ndarray | None = None,
 ) -> pa.Table:
     """Look pair endpoints up in their (possibly distinct) side states and
     run the ONE vectorized feature kernel — shared by the broadcast and
     bucketed-scatter paths, so both produce byte-identical edges.
+    ``sidx_full_*``: optional per-conv sense-index matrices aligned with the
+    states' rows (``_sidx_for_state``); gathered here alongside the payload.
 
     ``conv_a``/``conv_b``/``block_id``: aligned Arrow arrays. A pair id
     wider than a state's fixed-width id dtype raises BEFORE the cast (a
@@ -555,6 +609,8 @@ def _gather_and_score(
             sa_chars[ia], sb_chars[ib],
             sa_ah[ia], sa_aw[ia], sb_ah[ib], sb_aw[ib],
             rel_pack=rel_pack,
+            sidx_a=None if sidx_full_a is None else sidx_full_a[ia],
+            sidx_b=None if sidx_full_b is None else sidx_full_b[ib],
         )
     else:
         e = np.empty(0)
@@ -635,6 +691,7 @@ def score_pairs_scatter(
     cfg: EngineConfig,
     rel_ref=None,
     num_buckets: int | None = None,
+    states: list | None = None,
 ) -> rd.Dataset:
     """Scored edges WITHOUT any whole-dataset broadcast — the 10^12-turn
     plan, shaped as a fragment-replicate join:
@@ -661,9 +718,12 @@ def score_pairs_scatter(
     from ..functions.groupagg import sorted_apply_exact
 
     scfg = cfg.scoring
-    if num_buckets is None:
-        num_buckets = int(min(64, max(4, profiles.count() // 4096 + 1)))
-    states = build_bucket_states(profiles, num_buckets)
+    if states is not None:
+        num_buckets = len(states)
+    else:
+        if num_buckets is None:
+            num_buckets = int(min(64, max(4, profiles.count() // 4096 + 1)))
+        states = build_bucket_states(profiles, num_buckets)
 
     def tag(batch: pa.Table) -> pa.Table:
         ba = _bucket_of_ids(np.asarray(batch["conv_a"].to_pylist(), dtype=object), num_buckets)
@@ -682,10 +742,17 @@ def score_pairs_scatter(
         if len(df) == 0:
             return EDGE_SCHEMA.empty_table()
         rel_pack = _get_rel_pack(rel_ref)
+        rel_key = None if rel_ref is None else rel_ref.hex()
         out: list[pa.Table] = []
         for (ba, bb), g in df.groupby(["bucket_a", "bucket_b"], sort=True):
             st_a = _get_bucket_state(states[int(ba)])
             st_b = st_a if bb == ba else _get_bucket_state(states[int(bb)])
+            sidx_a = _sidx_for_state(st_a, states[int(ba)].hex(), rel_pack, rel_key)
+            sidx_b = (
+                sidx_a
+                if bb == ba
+                else _sidx_for_state(st_b, states[int(bb)].hex(), rel_pack, rel_key)
+            )
             out.append(
                 _gather_and_score(
                     st_a, st_b,
@@ -693,6 +760,7 @@ def score_pairs_scatter(
                     pa.array(g["conv_b"].to_numpy(), pa.string()),
                     pa.array(g["block_id"].to_numpy(), pa.string()),
                     rel_pack, scfg,
+                    sidx_full_a=sidx_a, sidx_full_b=sidx_b,
                 )
             )
         return pa.concat_tables(out)
@@ -701,11 +769,26 @@ def score_pairs_scatter(
     return sorted_apply_exact(tagged, ["bucket_a", "bucket_b"], score_groups)
 
 
+def prepare_side_state(profiles: rd.Dataset, cfg: EngineConfig):
+    """Kick off the (gated) side-state build EARLY so the pack tasks overlap
+    the pair stage's sorted exchanges — the build depends only on profiles,
+    which are materialized before pair generation starts, and its final
+    concat+sort pack is one task (~2-5 s at the 100k tier) that otherwise
+    sits on the critical path. Returns an opaque handle for
+    ``score_pairs(..., prepared=...)``."""
+    n = profiles.count()
+    if n <= cfg.scoring.side_broadcast_gate:
+        return ("broadcast", build_side_state(profiles))
+    num_buckets = int(min(64, max(4, n // 4096 + 1)))
+    return ("scatter", build_bucket_states(profiles, num_buckets), num_buckets)
+
+
 def score_pairs(
     pairs: rd.Dataset,
     profiles: rd.Dataset,
     cfg: EngineConfig,
     relatedness=None,
+    prepared=None,
 ) -> rd.Dataset:
     """Gated scorer: at or below ``scoring.side_broadcast_gate`` profile rows
     the whole side table broadcasts (one ``ray.put``, zero-copy numpy reads —
@@ -729,13 +812,23 @@ def score_pairs(
             rel_ref = relatedness
         else:
             rel_ref = ray.put(relatedness.pack())
-    if profiles.count() <= cfg.scoring.side_broadcast_gate:
-        state = build_side_state(profiles)
+    # even row-count blocks for the scoring map: the dedup sort's range
+    # partitions skew up to ~770× in rows (measured 66..50,933 per block at
+    # the 100k tier), and map task count == block count, so one fat block
+    # was the whole stage's critical path. Row-targeted repartition is
+    # scale-safe (pure streaming split/merge, no count, no shuffle).
+    pairs = pairs.repartition(target_num_rows_per_block=8192)
+    if prepared is None:
+        prepared = prepare_side_state(profiles, cfg)
+    if prepared[0] == "broadcast":
+        state = prepared[1]
         if os.environ.get("GRAFT_TIMING") == "1":
             ray.wait([state], fetch_local=False)
             print(f"[scoring-timing] side_state build: {time.perf_counter() - t0:.2f}s")
         return score_pairs_fused(pairs, state, cfg, rel_ref)
-    return score_pairs_scatter(pairs, profiles, cfg, rel_ref)
+    return score_pairs_scatter(
+        pairs, profiles, cfg, rel_ref, states=prepared[1]
+    )
 
 
 def fit_weights(

@@ -39,7 +39,11 @@ import ray.data as rd
 
 from ..config import EngineConfig
 from ..functions.groupagg import sorted_grouped_agg
-from ..functions.minhash import hash_params, shingle_hashes
+from ..functions.minhash import (
+    hash_params,
+    minhash_from_shingle_groups,
+    shingle_hashes_multi,
+)
 from ..functions.normalize import normalize_text
 
 PROFILE_SCHEMA = pa.schema(
@@ -92,24 +96,28 @@ class _TurnPartials:
         texts = batch["norm_text"].to_pylist()
         order = np.lexsort((tidx, conv))
         out = {
-            "conv_id": [], "sig": [], "text_head": [], "n_turns": [],
+            "conv_id": [], "text_head": [], "n_turns": [],
             "n_chars": [], "min_turn": [], "anchors": [],
         }
-        i = 0
         n = len(order)
+        # batched shingle hashing: ONE encode + windowing pass for the whole
+        # batch (the per-turn shingle_hashes call paid ~5 numpy-call setups
+        # per ~150-char turn — 46% of this stage's profile)
+        sorted_texts = [texts[o] or "" for o in order]
+        turn_hashes = shingle_hashes_multi(sorted_texts, self.k)
+        conv_shingles: list[np.ndarray] = []
+        i = 0
         with np.errstate(over="ignore"):
             while i < n:
                 j = i
                 cid = conv[order[i]]
-                sh_parts = []
                 heads: list[str] = []
                 n_chars = 0
                 head_len = 0
                 acounts: dict[str, tuple[int, float, int]] = {}
                 while j < n and conv[order[j]] == cid:
-                    t = texts[order[j]] or ""
+                    t = sorted_texts[j]
                     n_chars += len(t)
-                    sh_parts.append(shingle_hashes(t, self.k))
                     if head_len < self.cap:
                         heads.append(t[: self.cap - head_len])
                         head_len += len(heads[-1]) + 1
@@ -121,15 +129,14 @@ class _TurnPartials:
                             else:
                                 acounts[lab] = (c, lp, ld)
                     j += 1
-                sh = np.unique(np.concatenate(sh_parts))
-                sig = np.full(len(self.a), np.iinfo(np.uint64).max, dtype=np.uint64)
-                CHUNK = 16384
-                for lo in range(0, len(sh), CHUNK):
-                    part = sh[lo : lo + CHUNK]
-                    vals = self.a[:, None] * part[None, :] + self.b[:, None]
-                    np.minimum(sig, vals.min(axis=1), out=sig)
+                # conv shingle set = union of its turns' raw window hashes
+                # (same set as unioning per-turn deduped sets)
+                conv_shingles.append(
+                    np.unique(np.concatenate(turn_hashes[i:j]))
+                    if j > i + 1
+                    else np.unique(turn_hashes[i])
+                )
                 out["conv_id"].append(cid)
-                out["sig"].append(sig.tobytes())
                 out["text_head"].append(" ".join(heads))
                 out["n_turns"].append(j - i)
                 out["n_chars"].append(n_chars)
@@ -138,6 +145,9 @@ class _TurnPartials:
                     [(lab, c, lp, ld) for lab, (c, lp, ld) in acounts.items()]
                 )
                 i = j
+        # batched signatures: one chunked reduceat instead of a per-conv loop
+        sig_mat = minhash_from_shingle_groups(conv_shingles, self.a, self.b)
+        sigs = [sig_mat[r].tobytes() for r in range(len(conv_shingles))]
         anchor_type = pa.list_(
             pa.struct(
                 [("label", pa.string()), ("cnt", pa.int64()),
@@ -147,7 +157,7 @@ class _TurnPartials:
         return pa.table(
             {
                 "conv_id": pa.array(out["conv_id"], pa.string()),
-                "sig": pa.array(out["sig"], pa.binary()),
+                "sig": pa.array(sigs, pa.binary()),
                 "text_head": pa.array(out["text_head"], pa.string()),
                 "n_turns": pa.array(out["n_turns"], pa.int64()),
                 "n_chars": pa.array(out["n_chars"], pa.int64()),

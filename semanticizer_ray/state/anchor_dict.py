@@ -157,6 +157,11 @@ class AnchorDict:
 
     def __init__(self, table: pa.Table, min_link_probability: float = 0.0):
         self.by_norm: dict[str, list[dict]] = {}
+        # first tokens of MULTIWORD norms: lets matchers skip building the
+        # n≥2 n-gram surface strings at positions that cannot start one
+        # (the join dominated the anchor-count pass — most tokens start no
+        # multiword anchor)
+        self.multi_first: set[str] = set()
         self.max_words = 1
         labels = table["label"].to_pylist()
         norms = table["norm"].to_pylist()
@@ -179,7 +184,10 @@ class AnchorDict:
                 "senses": senses[i] or [],
             }
             self.by_norm.setdefault(norms[i], []).append(entry)
-            self.max_words = max(self.max_words, len(norms[i].split()))
+            words = norms[i].split()
+            if len(words) > 1:
+                self.multi_first.add(words[0])
+            self.max_words = max(self.max_words, len(words))
 
     @classmethod
     def from_parquet(cls, path: str, **kw) -> "AnchorDict":

@@ -115,3 +115,49 @@ def test_batch_pair_scores():
     assert lv[1] == 1.0 and jw[1] == 1.0
     assert lv[0] == pytest.approx(1 - 3 / 7)
     assert lv[2] == 0.0
+
+
+def test_native_kernels_match_numpy_bodies():
+    """The optional C kernels (functions/native.py) must be bit-identical to
+    the numpy batch bodies, which are themselves scalar-parity-tested —
+    covers ASCII, unicode (UTF-8 multi-byte), empties, and both input
+    layouts (object arrays and fixed-width U arrays)."""
+    from semanticizer_ray.functions.native import get_lib
+    from semanticizer_ray.functions.strings import (
+        _batch_jaro_winkler_numpy,
+        _batch_levenshtein_numpy,
+        _encode_bytes,
+        _encode_u32,
+        batch_jaro_winkler,
+        batch_levenshtein_ratio,
+    )
+
+    if get_lib() is None:
+        pytest.skip("no C compiler in environment — numpy fallback active")
+    rng = np.random.default_rng(3)
+    alpha = list("abcde \x1f日本éü")
+    strs = ["".join(rng.choice(alpha, rng.integers(0, 90))) for _ in range(400)]
+    left = np.array(strs, dtype=object)
+    right = np.array(strs[1:] + strs[:1], dtype=object)
+    right[:50] = left[:50]  # identical block
+    for cap in (17, 64, 256):
+        got = batch_levenshtein_ratio(left, right, cap=cap)
+        A, la = _encode_bytes(left, cap)
+        B, lb = _encode_bytes(right, cap)
+        want = _batch_levenshtein_numpy(A, la, B, lb, cap)
+        assert np.array_equal(got, want), f"lev cap={cap}"
+        got = batch_jaro_winkler(left, right, cap=cap)
+        A2, la2 = _encode_u32(left, cap)
+        B2, lb2 = _encode_u32(right, cap)
+        want = _batch_jaro_winkler_numpy(A2, la2, B2, lb2, 0.1)
+        assert np.array_equal(got, want), f"jw cap={cap}"
+    # fixed-width U input must equal the object-array path
+    lu = np.asarray([s for s in left], dtype="U90")
+    ru = np.asarray([s for s in right], dtype="U90")
+    assert np.array_equal(
+        batch_levenshtein_ratio(lu, ru, cap=64),
+        batch_levenshtein_ratio(left, right, cap=64),
+    )
+    assert np.array_equal(
+        batch_jaro_winkler(lu, ru, cap=64), batch_jaro_winkler(left, right, cap=64)
+    )
