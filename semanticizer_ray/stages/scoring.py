@@ -76,10 +76,27 @@ FEATURE_NAMES = [
     "len_ratio",
 ]
 
-# per-worker-process cache for the broadcast side table (pandas form)
+# Per-worker-process caches. Pickling contract (same as signatures.py's
+# _WORKER_STATE note): task closures are pickled BY VALUE with synthetic
+# globals, so these dicts MUST be reached through the module-level accessor
+# functions below (pickled by reference → resolve to the worker's real
+# module), never referenced directly inside a closure.
 _SIDE_CACHE: dict = {}
 # per-worker-process cache for the (small) relatedness pack
 _REL_CACHE: dict = {}
+
+
+def _get_side_state(ref):
+    """Worker-side fetch-and-cache of the broadcast side state."""
+    import ray
+
+    key = ("side_state", ref.hex())
+    st = _SIDE_CACHE.get(key)
+    if st is None:
+        st = ray.get(ref)
+        _SIDE_CACHE.clear()
+        _SIDE_CACHE[key] = st
+    return st, key
 
 
 def _get_rel_pack(rel_ref):
@@ -411,25 +428,39 @@ def score_pairs_fused(
     import ray
 
     scfg = cfg.scoring
+    sidx_ref = None
+    if rel_ref is not None:
+        sidx_ref = (
+            ray.remote(num_cpus=1)(_compute_sidx_task)
+            .options(name="compute_sidx")
+            .remote(side_state, rel_ref)
+        )
 
     def score(batch: pa.Table) -> pa.Table:
-        key = ("side_state", side_state.hex())
-        st = _SIDE_CACHE.get(key)
-        if st is None:
-            st = ray.get(side_state)
-            _SIDE_CACHE.clear()
-            _SIDE_CACHE[key] = st
+        import os as _os
+        import time as _time
+
+        dbg = _os.environ.get("GRAFT_DEBUG_COLD") == "1"
+        t0 = _time.perf_counter()
+        st, key = _get_side_state(side_state)
+        t1 = _time.perf_counter()
         rel_pack = _get_rel_pack(rel_ref)
-        sidx = _sidx_for_state(
-            st, key, rel_pack, None if rel_ref is None else rel_ref.hex()
-        )
+        sidx = _sidx_from_ref(sidx_ref)
         # same kernel as the bucketed scatter path (one state for both
         # sides) — incl. the id-width guard before the fixed-width cast and
         # the membership check (ADVICE r2)
-        return _gather_and_score(
+        t2 = _time.perf_counter()
+        out = _gather_and_score(
             st, st, batch["conv_a"], batch["conv_b"], batch["block_id"],
             rel_pack, scfg, sidx_full_a=sidx, sidx_full_b=sidx,
         )
+        if dbg:
+            t3 = _time.perf_counter()
+            print(
+                f"[score-dbg] pid={_os.getpid()} n={batch.num_rows} "
+                f"state={t1-t0:.3f}s prep={t2-t1:.3f}s kernel={t3-t2:.3f}s"
+            )
+        return out
 
     # 4096-row batches: kernels amortize fully by ~2k rows, and ~2× more
     # tasks keeps all cores busy through the final wave (8192 left a third
@@ -554,6 +585,30 @@ def _sidx_for_state(state, state_key, rel_pack, rel_key) -> np.ndarray | None:
             _SIDX_CACHE.clear()
         _SIDX_CACHE[key] = sidx
     return sidx
+
+
+def _sidx_from_ref(ref) -> np.ndarray | None:
+    """Worker fetch-and-cache of a PRE-COMPUTED broadcast sense-index matrix
+    (one remote task computes it; every worker reads zero-copy — computing
+    it per worker measured ~20 core-s at the 100k tier / 32 CPUs)."""
+    if ref is None:
+        return None
+    import ray
+
+    key = ("sidx-ref", ref.hex())
+    sidx = _SIDX_CACHE.get(key)
+    if sidx is None:
+        sidx = ray.get(ref)
+        if len(_SIDX_CACHE) >= _BUCKET_CACHE_MAX:
+            _SIDX_CACHE.clear()
+        _SIDX_CACHE[key] = sidx
+    return sidx
+
+
+def _compute_sidx_task(state, rel_pack) -> np.ndarray | None:
+    if rel_pack is None or not len(rel_pack[0]):
+        return None
+    return _sense_indices(state[4], rel_pack)
 
 
 _SIDX_CACHE: dict = {}

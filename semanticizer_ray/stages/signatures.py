@@ -67,7 +67,28 @@ TOP_M_ANCHORS = 16
 # dictionary build once per (worker, config) instead of paying actor-pool
 # startup (~0.5 s/actor × pool size dominated the stage wall time). The
 # broadcast dict table itself comes zero-copy from the object store.
+#
+# CRITICAL pickling detail: closures shipped to Ray tasks are serialized BY
+# VALUE with a synthetic globals namespace, so a closure that references
+# this dict DIRECTLY gets a fresh empty dict on every task (measured: 135
+# cold dictionary builds for 135 tasks — ~200 core-s of pure setup waste at
+# the 100k tier). Access MUST go through ``_worker_state()``, a module-level
+# function that cloudpickle serializes BY REFERENCE, so tasks resolve the
+# worker's real imported module and its one persistent dict.
 _WORKER_STATE: dict = {}
+
+
+def _worker_state(state_key, cfg, dict_source) -> "_TurnPartials":
+    st = _WORKER_STATE.get(state_key)
+    if st is None:
+        import os as _os
+
+        if _os.environ.get("GRAFT_DEBUG_COLD") == "1":
+            print(f"[cold-partials] pid={_os.getpid()}")
+        st = _TurnPartials(cfg, dict_source)
+        _WORKER_STATE.clear()
+        _WORKER_STATE[state_key] = st
+    return st
 
 
 class _TurnPartials:
@@ -198,13 +219,9 @@ def conv_profiles(
     state_key = (cfg.config_hash(), dict_source.hex() if dict_source is not None else None)
 
     def partials_fn(batch: pa.Table) -> pa.Table:
-        # stateless task + per-worker state cache (see _WORKER_STATE note)
-        st = _WORKER_STATE.get(state_key)
-        if st is None:
-            st = _TurnPartials(cfg, dict_source)
-            _WORKER_STATE.clear()
-            _WORKER_STATE[state_key] = st
-        return st(batch)
+        # stateless task + per-worker state cache; MUST go through the
+        # module-level accessor (see _WORKER_STATE pickling note)
+        return _worker_state(state_key, cfg, dict_source)(batch)
 
     partials = normalized.map_batches(
         partials_fn,
