@@ -127,24 +127,34 @@ def run_scaling() -> dict:
     import statistics
 
     n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "1"))
-    warm = one(8)  # also warms the page cache / fixture generation
+    # N-vs-4N legs; default 8 vs 32. Overridable (e.g. 4 vs 16) because the
+    # sandbox host VM throttles/steals CPU under full 32-wide load
+    # (measured: 30-50% steal during allocation-heavy phases at 32-way,
+    # ~0% at ≤20-way), which contaminates the strong-scaling signal with a
+    # hypervisor artifact — BASELINE.md reports both pairs plus that
+    # evidence.
+    lo_n = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi_n = int(os.environ.get("GRAFT_SCALING_HI", str(lo_n * 4)))
+    warm = one(lo_n)  # also warms the page cache / fixture generation
     los, his = [], []
     for _ in range(n_runs):  # interleave legs: machine noise hits both
-        los.append(one(8))
-        his.append(one(32))
+        los.append(one(lo_n))
+        his.append(one(hi_n))
     t_lo = statistics.median(r["value"] for r in los)
     t_hi = statistics.median(r["value"] for r in his)
-    eff = (t_lo / t_hi) / (32 / 8)
+    eff = (t_lo / t_hi) / (hi_n / lo_n)
     return {
         "metric": "scaling_efficiency",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "sec_8_runs": [r["value"] for r in los],
-        "sec_32_runs": [r["value"] for r in his],
-        "turns_per_sec_8": statistics.median(r["turns_per_sec"] for r in los),
-        "turns_per_sec_32": statistics.median(r["turns_per_sec"] for r in his),
+        "cpus_lo": lo_n,
+        "cpus_hi": hi_n,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "sec_lo_runs": [r["value"] for r in los],
+        "sec_hi_runs": [r["value"] for r in his],
+        "turns_per_sec_lo": statistics.median(r["turns_per_sec"] for r in los),
+        "turns_per_sec_hi": statistics.median(r["turns_per_sec"] for r in his),
         "scaling_efficiency": round(eff, 3),
-        "warmup_sec_8": warm["value"],
+        "warmup_sec_lo": warm["value"],
         "sf": los[0]["sf"],
     }
 
