@@ -2,15 +2,16 @@
 
 Usage:
     RAY_GRAFT_CPUS=32 python bench.py              # one timed run
-    python bench.py --scaling                      # 8-vs-32-cpu fresh runs
+    python bench.py --scaling                      # N-vs-4N-cpu fresh runs
 
 The headline metric is the end-to-end three-stage entity-resolution
 pipeline (north_rule) on synthetic transcripts sized to the sf tier of
-``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1 → 20k conversations);
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1 → 50k conversations);
 ``queries`` adds per-query wall times for representative catalog operators
-over the sf tables. ``--scaling`` runs the SAME input at num_cpus=8 and 32
-in fresh processes (page cache warmed by the first run's reads) and reports
-throughput at both plus efficiency = (t_8/t_32)/(32/8) — the sandbox
+over the sf tables. ``--scaling`` runs the SAME input at num_cpus=N and 4N
+(default 4 and 16; see run_scaling for why not 8/32 on this host) in fresh
+processes (page cache warmed by an untimed first run) and reports
+throughput at both plus efficiency = (t_lo/t_hi)/(hi/lo) — the sandbox
 stand-in for the N-vs-4N-node criterion (BASELINE.md).
 """
 
@@ -127,14 +128,21 @@ def run_scaling() -> dict:
     import statistics
 
     n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "1"))
-    # N-vs-4N legs; default 8 vs 32. Overridable (e.g. 4 vs 16) because the
-    # sandbox host VM throttles/steals CPU under full 32-wide load
-    # (measured: 30-50% steal during allocation-heavy phases at 32-way,
-    # ~0% at ≤20-way), which contaminates the strong-scaling signal with a
-    # hypervisor artifact — BASELINE.md reports both pairs plus that
-    # evidence.
-    lo_n = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    # N-vs-4N legs; default 4 vs 16 at the 100k-conv tier. The 8-vs-32
+    # pairing is available via GRAFT_SCALING_LO=8, but on this sandbox's
+    # host VM it measures the hypervisor, not the engine:
+    # tools/host_ceiling_probe.py shows the host's own per-process
+    # throughput for a FIXED work quantum collapses above 16-wide
+    # (alloc-heavy mix: 0.51x per-core at 16-wide, 0.21x at 32-wide vs
+    # 4-wide; even cache-resident BLAS drops to 0.715x at 16 / 0.68x at
+    # 32) — i.e. the host caps any measured 4->16 efficiency at ~0.72
+    # for pure compute. BASELINE.md reports the raw pairings plus the
+    # ceiling so the engine's share is separable from the host's.
+    lo_n = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi_n = int(os.environ.get("GRAFT_SCALING_HI", str(lo_n * 4)))
+    # size the input so data-dependent work dominates Ray's fixed
+    # per-execution coordination cost (~0.5-1.5 s per distributed op)
+    os.environ.setdefault("GRAFT_FIXTURE_NCONVS", "100000")
     warm = one(lo_n)  # also warms the page cache / fixture generation
     los, his = [], []
     for _ in range(n_runs):  # interleave legs: machine noise hits both
