@@ -141,8 +141,10 @@ def run_scaling() -> dict:
     lo_n = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi_n = int(os.environ.get("GRAFT_SCALING_HI", str(lo_n * 4)))
     # size the input so data-dependent work dominates Ray's fixed
-    # per-execution coordination cost (~0.5-1.5 s per distributed op)
-    os.environ.setdefault("GRAFT_FIXTURE_NCONVS", "100000")
+    # per-execution coordination cost (~0.5-1.5 s per distributed op);
+    # 200k convs / 2.26M turns is the tier where the measured 4-vs-16
+    # efficiency stabilizes (BASELINE.md round-3 sweep)
+    os.environ.setdefault("GRAFT_FIXTURE_NCONVS", "200000")
     warm = one(lo_n)  # also warms the page cache / fixture generation
     los, his = [], []
     for _ in range(n_runs):  # interleave legs: machine noise hits both
