@@ -399,7 +399,9 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     ds = read_table(_p(sf_dir, "events"), columns=["ts", "event_type"])
 
     def bucket(t: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(t["ts"], unit="hour")
+        # cast to us precision: floor_temporal keeps the source unit (s)
+        # while DuckDB's date_trunc returns timestamp[us]
+        hour = pc.floor_temporal(t["ts"], unit="hour").cast(pa.timestamp("us"))
         return pa.table({"hour": hour, "event_type": t["event_type"]})
 
     out = (
@@ -410,6 +412,9 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
         .sort_values(["hour", "event_type"])
         .reset_index(drop=True)
     )
+    # us precision to match DuckDB's date_trunc (the groupby's pandas
+    # round-trip lands on the source's s-precision otherwise)
+    out["hour"] = out["hour"].astype("datetime64[us]")
     return out
 
 
@@ -514,7 +519,10 @@ def knn_cosine(sf_dir: str) -> pd.DataFrame:
     queries = np.asarray([np.asarray(v, dtype=np.float64) for v in q])
     ds = read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = knn_brute(ds, queries, k=10).to_pandas()
-    out["cosine"] = out["cosine"].round(4)
+    # float32 to match the oracle: list_cosine_similarity on a FLOAT[]
+    # column returns FLOAT; the 1e-4 quantization grid is exactly
+    # representable well inside float32 precision
+    out["cosine"] = out["cosine"].round(4).astype(np.float32)
     return out[["query_idx", "vec_id", "cosine"]].sort_values(
         ["query_idx", "cosine", "vec_id"], ascending=[True, False, True]
     ).reset_index(drop=True)
