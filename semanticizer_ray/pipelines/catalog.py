@@ -39,6 +39,23 @@ def _round_cols(df: pd.DataFrame, cols: list[str], nd: int = 2) -> pd.DataFrame:
     return df
 
 
+def _column_max_from_stats(meta, column: str):
+    """Column max from Parquet row-group statistics — no data read (the
+    driver must never scan a full fact-table column just for a bound).
+    Returns None when any row group lacks stats for ``column``."""
+    idx = {meta.schema.column(i).name: i for i in range(len(meta.schema))}
+    ci = idx.get(column)
+    if ci is None:
+        return None
+    mx = None
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
 # ---------------------------------------------------------------- relational
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
@@ -510,11 +527,14 @@ def knn_cosine(sf_dir: str) -> pd.DataFrame:
 
     from ..stages.similarity import knn_brute
 
+    # predicate pushdown: only the 3 query rows leave storage (reading the
+    # whole embeddings table on the driver for 3 vectors is wrong at scale)
     q = (
-        pq.read_table(_p(sf_dir, "embeddings"))
+        pq.read_table(
+            _p(sf_dir, "embeddings"), filters=[("vec_id", "in", [0, 1, 2])]
+        )
         .to_pandas()
-        .sort_values("vec_id")
-        .head(3)["embedding"]
+        .sort_values("vec_id")["embedding"]
     )
     queries = np.asarray([np.asarray(v, dtype=np.float64) for v in q])
     ds = read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
@@ -648,13 +668,17 @@ def events_asof_orders(sf_dir: str) -> pd.DataFrame:
 
     from .streaming import asof_latest_order, asof_latest_order_distributed
 
-    n_orders = pq.read_metadata(_p(sf_dir, "orders")).num_rows
-    n_keys = int(
-        pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey"])["o_custkey"]
-        .combine_chunks()
-        .to_numpy()
-        .max()
-    ) + 1
+    meta = pq.read_metadata(_p(sf_dir, "orders"))
+    n_orders = meta.num_rows
+    n_keys = _column_max_from_stats(meta, "o_custkey")
+    if n_keys is None:  # stats missing: fall back to a one-column scan
+        n_keys = int(
+            pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey"])["o_custkey"]
+            .combine_chunks()
+            .to_numpy()
+            .max()
+        )
+    n_keys = int(n_keys) + 1
     ds = read_table(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
     # count gate: small orders side broadcasts; past the gate the bucketed
     # scatter/gather as-of runs (sf0.01 exceeds it → the driver oracle
@@ -1132,11 +1156,14 @@ def knn_lsh_cosine(sf_dir: str) -> pd.DataFrame:
 
     from ..stages.similarity import knn_lsh
 
+    # predicate pushdown: only the 3 query rows leave storage (reading the
+    # whole embeddings table on the driver for 3 vectors is wrong at scale)
     q = (
-        pq.read_table(_p(sf_dir, "embeddings"))
+        pq.read_table(
+            _p(sf_dir, "embeddings"), filters=[("vec_id", "in", [0, 1, 2])]
+        )
         .to_pandas()
-        .sort_values("vec_id")
-        .head(3)["embedding"]
+        .sort_values("vec_id")["embedding"]
     )
     queries = np.asarray([np.asarray(v, dtype=np.float64) for v in q])
     ds = read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
