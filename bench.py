@@ -23,6 +23,11 @@ import subprocess
 import sys
 import time
 
+# the bench process is a dedicated driver: opt into the allocator tuning
+# that workers get automatically (semanticizer_ray.__init__ scopes it to
+# Ray workers so library imports don't mutate host applications)
+os.environ.setdefault("SEMANTICIZER_MALLOC_TUNE", "1")
+
 
 def run_bench() -> dict:
     import ray

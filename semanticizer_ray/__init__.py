@@ -32,11 +32,25 @@ def _tune_malloc() -> None:
     faults + TLB shootdowns + memory-zone lock contention IN THE KERNEL.
     Measured on a 32-core node at full width: a 32-process numpy loop spent
     ~92% of its CPU in system time; raising the threshold flipped that to
-    ~64% user time (same work). This runs at import, so every Ray worker
-    that imports the package is tuned no matter how the driver configured
-    ray.init. Trade, documented: freed large blocks are retained up to the
-    high-water mark per worker (bounded here by 256 MB blocks; batch-sized
-    temps are well under it). Best-effort: non-glibc platforms no-op."""
+    ~64% user time (same work). Trade, documented: freed large blocks are
+    retained up to the high-water mark per process (bounded here by 256 MB
+    blocks; batch-sized temps are well under it). Best-effort: non-glibc
+    platforms no-op.
+
+    Scope: a LIBRARY must not mutate a host application's allocator as an
+    import side effect, so this applies only inside Ray WORKER processes
+    (detected via RAY_RAYLET_PID, which raylet sets for workers but not
+    drivers — workers import this package when unpickling stage UDFs, so
+    every worker is tuned no matter how the driver configured ray.init).
+    ``SEMANTICIZER_MALLOC_TUNE=1`` opts a driver/CLI process in;
+    ``SEMANTICIZER_MALLOC_TUNE=0`` disables everywhere."""
+    import os
+
+    flag = os.environ.get("SEMANTICIZER_MALLOC_TUNE")
+    if flag == "0":
+        return
+    if flag != "1" and "RAY_RAYLET_PID" not in os.environ:
+        return
     try:
         import ctypes
 

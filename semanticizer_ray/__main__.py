@@ -21,7 +21,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# CLI processes are dedicated drivers: opt into the worker-scoped
+# allocator tuning. The package __init__ already ran (python -m imports it
+# first), so re-invoke the tuner after setting the opt-in — it is
+# idempotent and reads the env at call time.
+os.environ.setdefault("SEMANTICIZER_MALLOC_TUNE", "1")
+from semanticizer_ray import _tune_malloc  # noqa: E402
+
+_tune_malloc()
 
 
 def main(argv: list[str] | None = None) -> int:

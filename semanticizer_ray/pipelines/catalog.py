@@ -944,10 +944,23 @@ def _erq_run() -> tuple[pd.DataFrame, pd.DataFrame]:
 
 
 def ensure_er_quality_artifacts() -> None:
-    """Idempotent: make sure the fixture + match-edges artifact exist so the
-    ER-quality oracle SQL can run regardless of driver evaluation order."""
+    """Idempotent: make sure the fixture + match-edges artifact exist AND
+    are newer than every package source file, so the ER-quality oracle SQL
+    never re-clusters match edges written by a previous code version (the
+    query side always regenerates; the oracle side must see the same
+    edges)."""
     _erq_fixture_dir()
     if not os.path.exists(_ERQ_EDGES):
+        _erq_run()
+        return
+    import glob as _glob
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src_mtime = max(
+        os.path.getmtime(p)
+        for p in _glob.glob(os.path.join(pkg_root, "**", "*.py"), recursive=True)
+    )
+    if os.path.getmtime(_ERQ_EDGES) < src_mtime:
         _erq_run()
 
 

@@ -144,10 +144,12 @@ def minhash_dedup(
     ``exact_verify=True`` replaces the signature-Jaccard pair check with
     64-bit content-fingerprint equality (same md5 basis as
     ``exact_dedup``): identical texts always share every band bucket, so
-    the LSH candidates cover every exact-dup pair and the verified
-    components equal the exact-text groups — an SQL-checkable mode that
-    still exercises the full signature/LSH/cluster machinery (modulo
-    ``max_bucket`` truncation of degenerate >256-member buckets).
+    the LSH candidates cover every exact-dup pair, and in-bucket
+    verification emits a STAR to each content run's min id (O(n) pairs —
+    degenerate buckets are NOT truncated in this mode), so the verified
+    components equal the exact-text groups unconditionally: an
+    SQL-checkable mode that still exercises the full
+    signature/LSH/cluster machinery.
     """
     sig_rows = ds.map_batches(
         _DocSignatures,
@@ -168,22 +170,39 @@ def minhash_dedup(
             starts = np.append(group_starts(buckets), len(df))
             for gi in range(len(starts) - 1):
                 lo, hi = starts[gi], starts[gi + 1]
+                if exact_verify:
+                    # content-equality connectivity is a STAR to each
+                    # content run's min id: O(n) pairs, so degenerate
+                    # buckets need NO truncation and the verified
+                    # components equal the exact-text groups even when a
+                    # text has more than max_bucket duplicates
+                    if hi - lo < 2:
+                        continue
+                    order = np.argsort(content[lo:hi], kind="stable")
+                    cs = content[lo:hi][order]
+                    si = ids[lo:hi][order]  # doc-asc within equal content
+                    runs = np.append(group_starts(cs), hi - lo)
+                    for ri in range(len(runs) - 1):
+                        s, e = runs[ri], runs[ri + 1]
+                        rep = int(si[s])
+                        for v in si[s + 1 : e]:
+                            src.append(int(v))
+                            dst.append(rep)
+                            overs.append(0)
+                    continue
                 over = max(0, (hi - lo) - max_bucket)
                 hi = min(hi, lo + max_bucket)
                 n = hi - lo
                 if n < 2:
                     continue
                 iu, ju = np.triu_indices(n, k=1)
-                if exact_verify:
-                    keep = content[lo + iu] == content[lo + ju]
-                else:
-                    # full-signature Jaccard for every in-bucket pair, one
-                    # matmul-free vectorized comparison per bucket
-                    sigs = np.frombuffer(
-                        b"".join(sig_col[lo:hi]), dtype=np.uint64
-                    ).reshape(n, -1)
-                    eq = (sigs[iu] == sigs[ju]).mean(axis=1)
-                    keep = eq >= jaccard_threshold
+                # full-signature Jaccard for every in-bucket pair, one
+                # matmul-free vectorized comparison per bucket
+                sigs = np.frombuffer(
+                    b"".join(sig_col[lo:hi]), dtype=np.uint64
+                ).reshape(n, -1)
+                eq = (sigs[iu] == sigs[ju]).mean(axis=1)
+                keep = eq >= jaccard_threshold
                 for i, j in zip(iu[keep], ju[keep]):
                     src.append(int(ids[lo + i]))
                     dst.append(int(ids[lo + j]))

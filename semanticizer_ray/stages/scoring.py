@@ -519,6 +519,9 @@ def build_side_rows(profiles: rd.Dataset) -> rd.Dataset:
             batch["anchor_labels"].to_pylist(), batch["anchor_weights"].to_pylist()
         )
         sig = batch["sig"].combine_chunks()
+        # n==0 never reaches this UDF (ray 2.49 skips zero-row blocks) and
+        # zero-row parts are filtered before the pack concat, so the
+        # placeholder width can't poison a schema merge
         sig_width = len(sig[0].as_py()) if n else 8
         return pa.table(
             {
@@ -694,10 +697,18 @@ def _get_bucket_state(ref):
 
 def _bucket_of_ids(ids: np.ndarray, num_buckets: int) -> np.ndarray:
     """Deterministic (process-stable) hash bucket per conv id — must be the
-    same function on the side-split and pair-tag sides."""
-    return (pd.util.hash_array(np.asarray(ids, dtype=object)) % num_buckets).astype(
-        np.int64
-    )
+    same function on the side-split and pair-tag sides, so it delegates to
+    the ONE routing hash (``pairs.bucket_of_block_keys``)."""
+    from .pairs import bucket_of_block_keys
+
+    return bucket_of_block_keys(ids, num_buckets).astype(np.int64)
+
+
+def _default_num_buckets(n_profiles: int) -> int:
+    """Scatter-path bucket count: ~4096 profiles per packed state, capped
+    so bucket-pair fan-out stays bounded. ONE definition — the side-split
+    and every caller must agree."""
+    return int(min(64, max(4, n_profiles // 4096 + 1)))
 
 
 def build_bucket_states(profiles: rd.Dataset, num_buckets: int) -> list:
@@ -716,10 +727,19 @@ def build_bucket_states(profiles: rd.Dataset, num_buckets: int) -> list:
     block_refs = build_side_rows(profiles).to_arrow_refs()
 
     @ray.remote
-    def split(tbl: pa.Table) -> list:
-        if tbl.num_rows == 0:
-            empty = tbl.schema.empty_table()
-            return [empty] * num_buckets if num_buckets > 1 else empty
+    def split(tbl) -> list:
+        # ray 2.49 skips zero-row blocks past the shrink UDF, so an EMPTY
+        # upstream pandas block (sorted_grouped_agg's interior pass emits
+        # one whenever a sorted block holds only edge keys) reaches here
+        # unconverted and with the UN-shrunk schema. Zero rows contribute
+        # nothing to any bucket — send a None sentinel; pack filters.
+        n = tbl.num_rows if isinstance(tbl, pa.Table) else len(tbl)
+        if n == 0:
+            return [None] * num_buckets if num_buckets > 1 else None
+        if not isinstance(tbl, pa.Table):  # non-empty leaks must be loud
+            raise TypeError(
+                f"side-row block is {type(tbl).__name__}, not pyarrow.Table"
+            )
         b = _bucket_of_ids(np.asarray(tbl["ckey"].to_pylist(), dtype=object), num_buckets)
         out = []
         for i in range(num_buckets):
@@ -728,7 +748,10 @@ def build_bucket_states(profiles: rd.Dataset, num_buckets: int) -> list:
 
     @ray.remote
     def pack(*parts):
-        return _pack_side_table(pa.concat_tables(parts, promote_options="default"))
+        live = [p for p in parts if p is not None and p.num_rows]
+        if not live:  # _pack_side_table's n==0 path needs no schema
+            return _pack_side_table(pa.table({}))
+        return _pack_side_table(pa.concat_tables(live, promote_options="default"))
 
     split_refs = [
         split.options(num_returns=num_buckets).remote(r) for r in block_refs
@@ -777,7 +800,7 @@ def score_pairs_scatter(
         num_buckets = len(states)
     else:
         if num_buckets is None:
-            num_buckets = int(min(64, max(4, profiles.count() // 4096 + 1)))
+            num_buckets = _default_num_buckets(profiles.count())
         states = build_bucket_states(profiles, num_buckets)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -834,7 +857,7 @@ def prepare_side_state(profiles: rd.Dataset, cfg: EngineConfig):
     n = profiles.count()
     if n <= cfg.scoring.side_broadcast_gate:
         return ("broadcast", build_side_state(profiles))
-    num_buckets = int(min(64, max(4, n // 4096 + 1)))
+    num_buckets = _default_num_buckets(n)
     return ("scatter", build_bucket_states(profiles, num_buckets), num_buckets)
 
 

@@ -114,6 +114,31 @@ def test_minhash_exact_verify_equals_exact_groups(ray_session):
     assert g[3] == 3 and g[4] == 4  # near-dup stays out in exact mode
 
 
+def test_minhash_exact_verify_unaffected_by_max_bucket(ray_session):
+    """exact_verify must stay exact when a text has MORE duplicates than
+    max_bucket (the star-to-min verification makes truncation unnecessary;
+    regression for the silently-broken oracle equivalence)."""
+    import ray.data as rd
+
+    from semanticizer_ray.config import EngineConfig
+    from semanticizer_ray.stages.dedup import minhash_dedup
+
+    n_dup = 12
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(1, n_dup + 1)) + [100, 101],
+            "text": ["same text body with enough tokens to shingle"] * n_dup
+            + ["another body entirely", "a third distinct body"],
+        }
+    )
+    out = minhash_dedup(
+        rd.from_pandas(docs), EngineConfig(), exact_verify=True, max_bucket=4
+    ).to_pandas()
+    g = dict(zip(out["doc_id"], out["dup_group"]))
+    assert all(g[i] == 1 for i in range(1, n_dup + 1))  # ALL dups group to min
+    assert g[100] == 100 and g[101] == 101
+
+
 def test_simhash_batch_invariance(ray_session):
     """Same docs at different batch sizes → identical simhash values."""
     import ray.data as rd

@@ -133,3 +133,27 @@ def test_scatter_raises_on_missing_profile(ray_session, scored_inputs):
     )
     with pytest.raises(Exception, match="no profile row"):
         score_pairs_scatter(ghost, profiles, cfg).materialize()
+
+
+def test_side_state_survives_empty_pandas_block(ray_session, scored_inputs):
+    """ray 2.49 forwards zero-row PANDAS blocks past map_batches UDFs
+    unconverted, so build_bucket_states' split task used to receive a
+    pd.DataFrame (with the un-shrunk schema) and crash on .num_rows —
+    exactly what sorted_grouped_agg's interior pass emits when a sorted
+    block holds only edge keys. Regression: an empty pandas block unioned
+    into profiles must not change the packed state."""
+    import ray
+    import ray.data as rd
+
+    from semanticizer_ray.stages.scoring import build_side_state
+
+    import numpy as np
+
+    cfg, profiles, _ = scored_inputs
+    full = profiles.to_pandas()
+    with_empty = rd.from_pandas(full).union(rd.from_pandas(full.iloc[0:0]))
+    got = ray.get(build_side_state(with_empty))
+    ref = ray.get(build_side_state(rd.from_pandas(full)))
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a, b)
