@@ -121,6 +121,71 @@ class AnchorMatcher:
                         out[lab] = (1, e["link_probability"], e["link_doc"])
         return out
 
+    def candidate_entries_batch(self, norm_texts):
+        """Vectorized twin of ``count_labels_normtext`` over a LIST of
+        already-normalized texts: returns (slot, label, lp, ld) numpy
+        arrays, one row per dictionary ENTRY hit, in exactly the scalar
+        path's first-seen order (text asc, token position asc, n-gram
+        length asc, entry order). The n-gram surface generation stays
+        python (gated by ``multi_first``); the 20+ lookups per turn
+        collapse into ONE pandas hash probe per batch plus CSR expansion —
+        the scalar path's dict-get loop was ~half the profile stage's CPU.
+
+        Parity with the scalar path is asserted in tests (same counts,
+        same first-seen lp/ld, same first-seen order)."""
+        import numpy as np
+
+        from ..functions.normalize import _TOKEN
+
+        d = self.dict
+        mf = d.multi_first
+        max_n = self.max_n
+        surfaces: list[str] = []
+        slots: list[int] = []
+        for s, text in enumerate(norm_texts):
+            toks = _TOKEN.findall(text or "")
+            n_tok = len(toks)
+            for i in range(n_tok):
+                surfaces.append(toks[i])  # unigram first (scalar order)
+                slots.append(s)
+                if toks[i] not in mf:
+                    continue
+                for n in range(2, max_n + 1):
+                    if i + n > n_tok:
+                        break
+                    surfaces.append(" ".join(toks[i : i + n]))
+                    slots.append(s)
+        if not surfaces:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, object),
+                np.empty(0, np.float64),
+                np.empty(0, np.int64),
+            )
+        idx = d.norm_index.get_indexer(np.asarray(surfaces, dtype=object))
+        hit = idx >= 0
+        hidx = idx[hit]
+        hslot = np.asarray(slots, dtype=np.int64)[hit]
+        starts = d.ent_start[hidx]
+        reps = d.ent_start[hidx + 1] - starts
+        total = int(reps.sum())
+        if total == 0:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, object),
+                np.empty(0, np.float64),
+                np.empty(0, np.int64),
+            )
+        # flat entry positions: per-hit arange(start, end), concatenated
+        pos = np.repeat(starts, reps) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(
+                np.concatenate(([0], np.cumsum(reps)[:-1])).astype(np.int64), reps
+            )
+        )
+        slot_e = np.repeat(hslot, reps)
+        return slot_e, d.ent_label[pos], d.ent_lp[pos], d.ent_ld[pos]
+
     def _candidates_for_text(self, text: str) -> list[tuple[int, int, str, dict]]:
         """(start, end, surface, dict entry) for every matching n-gram."""
         toks = tokenize_with_spans(text)

@@ -91,6 +91,45 @@ def _worker_state(state_key, cfg, dict_source) -> "_TurnPartials":
     return st
 
 
+def _conv_anchor_lists(matcher, sorted_texts, conv_sorted) -> list[list[tuple]]:
+    """Per-conversation anchor lists [(label, count, lp, link_doc), ...]
+    from conv-grouped normalized texts, byte-equivalent to folding the
+    scalar ``count_labels_normtext`` per turn and merging per conv
+    (counts sum; lp/link_doc and list position come from the label's FIRST
+    occurrence in turn order — here literally the first candidate hit,
+    since candidates are generated in that exact order)."""
+    import pandas as pd
+
+    n = len(sorted_texts)
+    if n == 0:
+        return []
+    conv_sorted = np.asarray(conv_sorted, dtype=object)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = conv_sorted[1:] != conv_sorted[:-1]
+    conv_idx = np.cumsum(change) - 1
+    out: list[list[tuple]] = [[] for _ in range(int(conv_idx[-1]) + 1)]
+    slot_e, label_e, lp_e, ld_e = matcher.candidate_entries_batch(sorted_texts)
+    if len(label_e) == 0:
+        return out
+    codes, uniq_labels = pd.factorize(label_e)
+    uniq_labels = np.asarray(uniq_labels, dtype=object)
+    v = np.int64(len(uniq_labels))
+    combined = conv_idx[slot_e].astype(np.int64) * v + codes
+    uniq, first_idx, cnts = np.unique(combined, return_index=True, return_counts=True)
+    conv_u = uniq // v
+    ord2 = np.lexsort((first_idx, conv_u))  # within conv: first-seen order
+    lab_u = uniq_labels[(uniq % v)[ord2]]
+    cnt_u = cnts[ord2]
+    lp_u = lp_e[first_idx[ord2]]
+    ld_u = ld_e[first_idx[ord2]]
+    for k, cu in enumerate(conv_u[ord2]):
+        out[int(cu)].append(
+            (lab_u[k], int(cnt_u[k]), float(lp_u[k]), int(ld_u[k]))
+        )
+    return out
+
+
 class _TurnPartials:
     """Per-batch partial profiles; the seeded hash family and (optionally)
     the anchor dictionary are loaded once per WORKER (SURVEY.md St1)."""
@@ -108,7 +147,8 @@ class _TurnPartials:
 
     def _anchor_counts(self, norm_text: str) -> dict[str, tuple[int, float, int]]:
         """label → (count, link_probability, label_link_doc) for one turn
-        (fast normalized-text path; spans are irrelevant for profiles)."""
+        (scalar parity reference for the batch path; spans are irrelevant
+        for profiles)."""
         return self.matcher.count_labels_normtext(norm_text)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -126,8 +166,18 @@ class _TurnPartials:
         # per ~150-char turn — 46% of this stage's profile)
         sorted_texts = [texts[o] or "" for o in order]
         turn_hashes = shingle_hashes_multi(sorted_texts, self.k)
+        # batched anchor counting: one hash probe for the whole batch's
+        # n-grams instead of a dict get per n-gram per turn (the scalar
+        # loop was ~half this stage's CPU); per-conv lists come back in
+        # the scalar path's first-seen order (parity-tested)
+        anchors_by_conv = (
+            _conv_anchor_lists(self.matcher, sorted_texts, conv[order])
+            if self.matcher is not None
+            else None
+        )
         conv_shingles: list[np.ndarray] = []
         i = 0
+        ci = 0
         with np.errstate(over="ignore"):
             while i < n:
                 j = i
@@ -135,20 +185,12 @@ class _TurnPartials:
                 heads: list[str] = []
                 n_chars = 0
                 head_len = 0
-                acounts: dict[str, tuple[int, float, int]] = {}
                 while j < n and conv[order[j]] == cid:
                     t = sorted_texts[j]
                     n_chars += len(t)
                     if head_len < self.cap:
                         heads.append(t[: self.cap - head_len])
                         head_len += len(heads[-1]) + 1
-                    if self.matcher is not None:
-                        for lab, (c, lp, ld) in self._anchor_counts(t).items():
-                            if lab in acounts:
-                                c0, lp0, ld0 = acounts[lab]
-                                acounts[lab] = (c0 + c, lp0, ld0)
-                            else:
-                                acounts[lab] = (c, lp, ld)
                     j += 1
                 # conv shingle set = union of its turns' raw window hashes
                 # (same set as unioning per-turn deduped sets)
@@ -163,8 +205,9 @@ class _TurnPartials:
                 out["n_chars"].append(n_chars)
                 out["min_turn"].append(int(tidx[order[i]]))
                 out["anchors"].append(
-                    [(lab, c, lp, ld) for lab, (c, lp, ld) in acounts.items()]
+                    anchors_by_conv[ci] if anchors_by_conv is not None else []
                 )
+                ci += 1
                 i = j
         # batched signatures: one chunked reduceat instead of a per-conv loop
         sig_mat = minhash_from_shingle_groups(conv_shingles, self.a, self.b)

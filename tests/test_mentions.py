@@ -115,3 +115,43 @@ def test_unique_per_sense():
 def test_empty_and_no_match():
     out = run_matcher(["", "nothing to see here"], EngineConfig())
     assert out == []
+
+
+def test_candidate_entries_batch_matches_scalar_fold():
+    """The vectorized batch anchor-count path must reproduce the scalar
+    count_labels_normtext fold exactly: same counts, same first-seen
+    lp/link_doc, same first-seen list order, per conversation."""
+    import numpy as np
+
+    from semanticizer_ray.functions.normalize import normalize_text
+    from semanticizer_ray.stages.signatures import _conv_anchor_lists
+
+    table = make_anchor_dict_table([dict(r, senses=list(r["senses"])) for r in DICT_ROWS])
+    cfg = EngineConfig()
+    m = AnchorMatcher(table, cfg)
+    texts = [
+        "Acme Corp ships big-data",          # multiword + unigram overlap
+        "acme acme corp acme",               # repeats; count aggregation
+        "Émile joined ACME",            # unicode + case
+        "",                                  # empty turn
+        "nothing matches here at all",
+        "big-data big-data acme corp",
+    ]
+    norm = [normalize_text(t, cfg.normalize) for t in texts]
+    # two turns per conv → exercises cross-turn merge + first-seen keep
+    conv_sorted = np.asarray(["a", "a", "b", "b", "c", "c"], dtype=object)
+    got = _conv_anchor_lists(m, norm, conv_sorted)
+    exp = []
+    i = 0
+    while i < len(norm):
+        ac: dict = {}
+        for t in norm[i : i + 2]:
+            for lab, (c, lp, ld) in m.count_labels_normtext(t).items():
+                if lab in ac:
+                    c0, lp0, ld0 = ac[lab]
+                    ac[lab] = (c0 + c, lp0, ld0)
+                else:
+                    ac[lab] = (c, lp, ld)
+        exp.append([(lab, c, lp, ld) for lab, (c, lp, ld) in ac.items()])
+        i += 2
+    assert got == exp
