@@ -133,11 +133,10 @@ class AnchorMatcher:
 
         Parity with the scalar path is asserted in tests (same counts,
         same first-seen lp/ld, same first-seen order)."""
-        import numpy as np
-
         from ..functions.normalize import _TOKEN
 
         d = self.dict
+        norm_index, ent_start, ent_label, ent_lp, ent_ld = d.ensure_batch_index()
         mf = d.multi_first
         max_n = self.max_n
         surfaces: list[str] = []
@@ -162,12 +161,12 @@ class AnchorMatcher:
                 np.empty(0, np.float64),
                 np.empty(0, np.int64),
             )
-        idx = d.norm_index.get_indexer(np.asarray(surfaces, dtype=object))
+        idx = norm_index.get_indexer(np.asarray(surfaces, dtype=object))
         hit = idx >= 0
         hidx = idx[hit]
         hslot = np.asarray(slots, dtype=np.int64)[hit]
-        starts = d.ent_start[hidx]
-        reps = d.ent_start[hidx + 1] - starts
+        starts = ent_start[hidx]
+        reps = ent_start[hidx + 1] - starts
         total = int(reps.sum())
         if total == 0:
             return (
@@ -184,7 +183,7 @@ class AnchorMatcher:
             )
         )
         slot_e = np.repeat(hslot, reps)
-        return slot_e, d.ent_label[pos], d.ent_lp[pos], d.ent_ld[pos]
+        return slot_e, ent_label[pos], ent_lp[pos], ent_ld[pos]
 
     def _candidates_for_text(self, text: str) -> list[tuple[int, int, str, dict]]:
         """(start, end, surface, dict entry) for every matching n-gram."""

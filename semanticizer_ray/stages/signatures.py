@@ -98,8 +98,6 @@ def _conv_anchor_lists(matcher, sorted_texts, conv_sorted) -> list[list[tuple]]:
     (counts sum; lp/link_doc and list position come from the label's FIRST
     occurrence in turn order — here literally the first candidate hit,
     since candidates are generated in that exact order)."""
-    import pandas as pd
-
     n = len(sorted_texts)
     if n == 0:
         return []
@@ -144,12 +142,6 @@ class _TurnPartials:
             from .mentions import AnchorMatcher
 
             self.matcher = AnchorMatcher(dict_source, cfg)
-
-    def _anchor_counts(self, norm_text: str) -> dict[str, tuple[int, float, int]]:
-        """label → (count, link_probability, label_link_doc) for one turn
-        (scalar parity reference for the batch path; spans are irrelevant
-        for profiles)."""
-        return self.matcher.count_labels_normtext(norm_text)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)

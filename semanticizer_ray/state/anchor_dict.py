@@ -188,27 +188,39 @@ class AnchorDict:
             if len(words) > 1:
                 self.multi_first.add(words[0])
             self.max_words = max(self.max_words, len(words))
-        # vectorized-lookup mirror of by_norm for the batch count path
-        # (mentions.candidate_entries_batch): one pandas hash probe per
-        # BATCH of surfaces instead of a python dict get per n-gram, plus
-        # CSR expansion arrays norm → its entries (order preserved)
-        self.norm_index = pd.Index(list(self.by_norm.keys()), dtype=object)
+        self._batch_index = None
+
+    def ensure_batch_index(self):
+        """Vectorized-lookup mirror of ``by_norm`` for the batch count path
+        (``mentions.candidate_entries_batch``): one pandas hash probe per
+        BATCH of surfaces instead of a python dict get per n-gram, plus CSR
+        expansion arrays norm → its entries (order preserved). Built
+        LAZILY on first use — the T3 span-accurate matcher actors only use
+        the scalar path and must not pay this per-actor startup loop.
+        Returns (norm_index, ent_start, ent_label, ent_lp, ent_ld)."""
+        if self._batch_index is not None:
+            return self._batch_index
+        import numpy as np
+
+        norm_index = pd.Index(list(self.by_norm.keys()), dtype=object)
         ent_label, ent_lp, ent_ld, counts = [], [], [], []
-        for norm in self.norm_index:
+        for norm in norm_index:
             es = self.by_norm[norm]
             counts.append(len(es))
             for e in es:
                 ent_label.append(e["label"])
                 ent_lp.append(e["link_probability"])
                 ent_ld.append(e["link_doc"])
-        import numpy as np
-
-        self.ent_start = np.concatenate(
-            [[0], np.cumsum(np.asarray(counts, dtype=np.int64))]
-        ).astype(np.int64)
-        self.ent_label = np.asarray(ent_label, dtype=object)
-        self.ent_lp = np.asarray(ent_lp, dtype=np.float64)
-        self.ent_ld = np.asarray(ent_ld, dtype=np.int64)
+        self._batch_index = (
+            norm_index,
+            np.concatenate(
+                [[0], np.cumsum(np.asarray(counts, dtype=np.int64))]
+            ).astype(np.int64),
+            np.asarray(ent_label, dtype=object),
+            np.asarray(ent_lp, dtype=np.float64),
+            np.asarray(ent_ld, dtype=np.int64),
+        )
+        return self._batch_index
 
     @classmethod
     def from_parquet(cls, path: str, **kw) -> "AnchorDict":
