@@ -100,6 +100,12 @@ class ScoringConfig:
     )
     bias: float = 0.0
     threshold: float = 0.55  # score >= threshold → is_match
+    # Edit-distance metric revision. v2 = UTF-8 BYTE-level Levenshtein
+    # (cap counted in bytes); v1 was character-level. Scores differ on
+    # non-ASCII text, so this field participates in config_hash and
+    # invalidates checkpointed edge artifacts scored under v1 (see README
+    # "Compatibility notes").
+    lev_metric_version: int = 2
     # scorer side-state path gate: at or below this many profile rows the
     # per-conv side table is broadcast (one ray.put, zero-copy numpy); above
     # it scoring takes the conv-keyed scatter/gather (no driver

@@ -190,5 +190,22 @@ def band_hashes(sig: np.ndarray, num_bands: int) -> np.ndarray:
     return acc
 
 
+def batch_band_hashes(sig_mat: np.ndarray, num_bands: int) -> np.ndarray:
+    """Band hashes for a whole signature matrix at once: uint64[n, H] →
+    uint64[n, num_bands]. Row i equals ``band_hashes(sig_mat[i], num_bands)``
+    exactly (same xor-multiply fold, asserted by the parity test) — the
+    batched form the explode stages use so no per-row Python runs in the
+    blocking hot path."""
+    n, h = sig_mat.shape
+    rows = h // num_bands
+    bands = sig_mat[:, : rows * num_bands].reshape(n, num_bands, rows)
+    mix = np.uint64(0xFF51AFD7ED558CCD)
+    acc = np.zeros((n, num_bands), dtype=np.uint64)
+    with np.errstate(**_ERR):
+        for r in range(rows):
+            acc = (acc ^ bands[:, :, r]) * mix
+    return acc
+
+
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float((sig_a == sig_b).mean())

@@ -18,9 +18,9 @@ from __future__ import annotations
 import ctypes
 import hashlib
 import os
+import stat
 import subprocess
 import sys
-import tempfile
 
 _LIB = None
 _TRIED = False
@@ -28,12 +28,37 @@ _TRIED = False
 _SRC = os.path.join(os.path.dirname(__file__), "_native.c")
 
 
-def _cache_path(src_text: str) -> str:
-    h = hashlib.sha256(src_text.encode()).hexdigest()[:16]
-    d = os.environ.get("SEMANTICIZER_NATIVE_CACHE") or os.path.join(
-        tempfile.gettempdir(), "semanticizer_ray_native"
+def _default_cache_dir() -> str:
+    # Per-user cache, NOT the world-shared tempdir: a predictable path in
+    # /tmp would let another local user pre-plant a .so at the content-hashed
+    # name and gain code execution in every process that imports us.
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
     )
-    os.makedirs(d, exist_ok=True)
+    return os.path.join(base, "semanticizer_ray", "native")
+
+
+def _dir_is_trusted(d: str) -> bool:
+    """Only load .so files from a directory owned by us and not group/world
+    writable — refuses caches another uid could have planted binaries in."""
+    try:
+        st = os.stat(d)
+    except OSError:
+        return False
+    if st.st_uid != os.getuid():
+        return False
+    return not (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH))
+
+
+def _cache_path(src_text: str) -> str | None:
+    h = hashlib.sha256(src_text.encode()).hexdigest()[:16]
+    d = os.environ.get("SEMANTICIZER_NATIVE_CACHE") or _default_cache_dir()
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+    except OSError:
+        return None
+    if not _dir_is_trusted(d):
+        return None
     return os.path.join(d, f"kernels_{h}_{sys.implementation.cache_tag}.so")
 
 
@@ -69,6 +94,8 @@ def get_lib():
         with open(_SRC) as f:
             src_text = f.read()
         path = _cache_path(src_text)
+        if path is None:
+            return None
         if not os.path.exists(path) and not _compile(src_text, path):
             return None
         lib = ctypes.CDLL(path)

@@ -33,6 +33,12 @@ def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+# Per-user scratch root for generated fixtures and oracle artifacts: a
+# world-shared predictable /tmp path would let another local user pre-plant
+# data (and mtime heuristics can't catch it) — scope by uid instead.
+_FIXTURE_BASE = f"/tmp/semanticizer_ray_fixtures_u{os.getuid()}"
+
+
 def _round_cols(df: pd.DataFrame, cols: list[str], nd: int = 2) -> pd.DataFrame:
     for c in cols:
         df[c] = df[c].astype(float).round(nd)
@@ -807,7 +813,7 @@ def _er_fixture_dir(sf_dir: str) -> str:
         "sf0.01": 1000,
         "sf0.1": 50000,
     }.get(sf, 200)
-    out = f"/tmp/semanticizer_ray_fixtures/{sf}_n{n}"
+    out = f"{_FIXTURE_BASE}/{sf}_n{n}"
     marker = os.path.join(out, "transcripts.parquet")
     if not os.path.exists(marker):
         from ..gen import write_fixture_set
@@ -900,8 +906,49 @@ def er_clusters_scatter(sf_dir: str) -> pd.DataFrame:
 # --- ER-quality gate (r2 verdict #5): pairwise P/R/F1 vs planted truth ---
 
 _ERQ_NCONVS = 200  # sf0.001-scale, fixed: the oracle's recursive CTE stays cheap
-_ERQ_DIR = f"/tmp/semanticizer_ray_fixtures/erq_n{_ERQ_NCONVS}"
+_ERQ_DIR = f"{_FIXTURE_BASE}/erq_n{_ERQ_NCONVS}"
 _ERQ_EDGES = os.path.join(_ERQ_DIR, "er_match_edges.parquet")
+_ERQ_CLUSTERS = os.path.join(_ERQ_DIR, "er_clusters_pred.parquet")
+_ERQ_MANIFEST = os.path.join(_ERQ_DIR, "ERQ_MANIFEST.json")
+
+_PKG_FP: str | None = None
+
+
+def _pkg_fingerprint() -> str:
+    """Content hash of every package source file (py + c) — NOT mtimes,
+    which archive extraction / mtime-preserving syncs can fake. Combined
+    with the engine config hash it identifies exactly which code+config
+    produced an ER-quality artifact."""
+    global _PKG_FP
+    if _PKG_FP is None:
+        import glob as _glob
+        import hashlib as _hashlib
+
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = _hashlib.sha256()
+        for pat in ("**/*.py", "**/*.c"):
+            for p in sorted(_glob.glob(os.path.join(pkg_root, pat), recursive=True)):
+                h.update(os.path.relpath(p, pkg_root).encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+        _PKG_FP = h.hexdigest()[:16]
+    return _PKG_FP
+
+
+def _erq_fingerprint() -> str:
+    return f"{_pkg_fingerprint()}:{EngineConfig().config_hash()}:n{_ERQ_NCONVS}"
+
+
+def _erq_fresh() -> bool:
+    import json as _json
+
+    if not (os.path.exists(_ERQ_EDGES) and os.path.exists(_ERQ_CLUSTERS)):
+        return False
+    try:
+        with open(_ERQ_MANIFEST) as f:
+            return _json.load(f).get("fingerprint") == _erq_fingerprint()
+    except (OSError, ValueError):
+        return False
 
 
 def _erq_fixture_dir() -> str:
@@ -913,11 +960,15 @@ def _erq_fixture_dir() -> str:
     return _ERQ_DIR
 
 
-def _erq_run() -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Run the flagship pipeline on the fixed ER-quality fixture; returns
-    (clusters, match_edges) and lands the match edges as a Parquet artifact
-    beside the fixture (atomic replace) for the DuckDB oracle to re-cluster
-    independently."""
+def _erq_run() -> pd.DataFrame:
+    """Run the flagship pipeline on the fixed ER-quality fixture; lands the
+    match edges + predicted clusters as Parquet artifacts beside the fixture
+    (atomic replaces) with a code+config fingerprint manifest, so the DuckDB
+    oracle re-clusters exactly the edges this code version produced and the
+    query side can reuse the same run instead of recomputing. Returns the
+    predicted clusters."""
+    import json as _json
+
     import pyarrow.parquet as pq
 
     from .entity_resolution import resolve_entities
@@ -936,31 +987,37 @@ def _erq_run() -> tuple[pd.DataFrame, pd.DataFrame]:
         .sort_values(["conv_a", "conv_b"])
         .reset_index(drop=True)
     )
-    tmp = _ERQ_EDGES + ".tmp"
-    pq.write_table(pa.Table.from_pandas(match, preserve_index=False), tmp)
-    os.replace(tmp, _ERQ_EDGES)
-    clusters = res.clusters.to_pandas()
-    return clusters, match
+    clusters = res.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    for path, df in ((_ERQ_EDGES, match), (_ERQ_CLUSTERS, clusters)):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+        os.replace(tmp, path)
+    tmp = f"{_ERQ_MANIFEST}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"fingerprint": _erq_fingerprint()}, f)
+    os.replace(tmp, _ERQ_MANIFEST)
+    return clusters
+
+
+def _erq_clusters() -> pd.DataFrame:
+    """Predicted clusters for the ER-quality gate — one pipeline run per
+    code+config fingerprint, shared by the query side and the SQL oracle
+    (the determinism of the pipeline makes concurrent same-user writes
+    byte-identical, so atomic replaces can interleave safely)."""
+    import pyarrow.parquet as pq
+
+    if _erq_fresh():
+        return pq.read_table(_ERQ_CLUSTERS).to_pandas()
+    return _erq_run()
 
 
 def ensure_er_quality_artifacts() -> None:
     """Idempotent: make sure the fixture + match-edges artifact exist AND
-    are newer than every package source file, so the ER-quality oracle SQL
+    carry the current code+config fingerprint, so the ER-quality oracle SQL
     never re-clusters match edges written by a previous code version (the
-    query side always regenerates; the oracle side must see the same
+    query side reuses the same fingerprinted run; both sides see the same
     edges)."""
-    _erq_fixture_dir()
-    if not os.path.exists(_ERQ_EDGES):
-        _erq_run()
-        return
-    import glob as _glob
-
-    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    src_mtime = max(
-        os.path.getmtime(p)
-        for p in _glob.glob(os.path.join(pkg_root, "**", "*.py"), recursive=True)
-    )
-    if os.path.getmtime(_ERQ_EDGES) < src_mtime:
+    if not _erq_fresh():
         _erq_run()
 
 
@@ -978,7 +1035,7 @@ def er_quality(sf_dir: str) -> pd.DataFrame:
     measured value."""
     import pyarrow.parquet as pq
 
-    clusters, _match = _erq_run()
+    clusters = _erq_clusters()
     truth = pq.read_table(os.path.join(_ERQ_DIR, "clusters_truth.parquet")).to_pandas()
     df = clusters.merge(truth, on="conv_id", suffixes=("_pred", "_true"))
 
@@ -1229,14 +1286,32 @@ FROM documents ORDER BY doc_id
 
 def sense_degrees(sf_dir: str) -> pd.DataFrame:
     """F2 concept-graph degrees (INDEGREE / link_occ / generality) per
-    sense over the ER fixture's link corpus (rows-only: the corpus is an
-    engine fixture, not a driver view; DuckDB parity asserted in
-    tests/test_relatedness.py)."""
+    sense, now a FULL SQL oracle: pinned to the fixed ER-quality fixture's
+    link corpus so the oracle can ``read_parquet`` the same input (the
+    ``er_quality`` oracle pattern); DuckDB parity over an arbitrary corpus
+    is additionally asserted in tests/test_relatedness.py."""
     from ..state.relatedness import build_sense_degrees
 
-    fx = _er_fixture_dir(sf_dir)
+    fx = _erq_fixture_dir()
     corp = os.path.join(fx, "link_corpus.parquet")
-    return build_sense_degrees(rd.read_parquet(corp), EngineConfig())
+    out = build_sense_degrees(rd.read_parquet(corp), EngineConfig())
+    out["generality"] = out["generality"].astype(float).round(6)
+    return out.sort_values("sense_id").reset_index(drop=True)
+
+
+SENSE_DEGREES_SQL = f"""
+WITH l AS (
+  SELECT sense_id, doc_id, count(*) AS occ
+  FROM read_parquet('{_ERQ_DIR}/link_corpus.parquet')
+  WHERE sense_id >= 0
+  GROUP BY 1, 2
+)
+SELECT sense_id,
+       CAST(count(*) AS BIGINT) AS indegree,
+       CAST(sum(occ) AS BIGINT) AS link_occ,
+       round(ln(count(*) + 1), 6) AS generality
+FROM l GROUP BY sense_id ORDER BY sense_id
+"""
 
 
 def media_features(sf_dir: str) -> pd.DataFrame:
@@ -1291,7 +1366,7 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "doc_fingerprints": (doc_fingerprints, None),
     "knn_lsh_cosine": (knn_lsh_cosine, None),
     "embedding_neardup_pairs": (embedding_neardup_pairs, None),
-    "sense_degrees": (sense_degrees, None),
+    "sense_degrees": (sense_degrees, SENSE_DEGREES_SQL),
     "doc_stopword_removal": (doc_stopword_removal, DOC_STOPWORDS_SQL),
     "media_features": (media_features, None),
 }

@@ -29,7 +29,13 @@ import ray.data as rd
 
 from ..config import EngineConfig
 from ..functions.groupagg import group_starts, sorted_apply_exact, sorted_grouped_agg
-from ..functions.minhash import band_hashes, hash_params, minhash_signature
+from ..functions.minhash import (
+    batch_band_hashes,
+    hash_params,
+    minhash_from_shingle_groups,
+    shingle_hashes_multi,
+)
+from .blocking import _HEXD, band_key_array, hex64_array, parse_hex64
 
 # Int doc ids ride the string clustering machinery (T9) zero-padded so
 # lexicographic min == numeric min. 20 digits covers the full non-negative
@@ -99,28 +105,49 @@ class _DocSignatures:
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        out_id, out_key, out_sig, out_content = [], [], [], []
-        for i, t in zip(ids, texts):
-            sig = minhash_signature(t or "", self.a, self.b, self.k)
-            sb = sig.tobytes()
-            # 64-bit content fingerprint (same md5 basis as exact_dedup):
-            # rides each band row so exact-verify mode never ships text
-            ch = int.from_bytes(
-                hashlib.md5((t or "").encode("utf-8")).digest()[:8], "little", signed=True
-            )
-            for band, h in enumerate(band_hashes(sig, self.bands)):
-                out_id.append(i)
-                out_key.append(f"{band}:{h:x}")
-                out_sig.append(sb)
-                out_content.append(ch)
+        n = batch.num_rows
+        texts = [t or "" for t in batch[self.text_col].to_pylist()]
+        # batched shingling + minhash — the same kernels as the ER profile
+        # pass (one windowing pass over the concatenated buffer, C/reduceat
+        # fold); min is duplicate-invariant so the non-deduped window hashes
+        # give signatures identical to the scalar path (parity-tested)
+        groups = shingle_hashes_multi(texts, self.k)
+        sig_mat = minhash_from_shingle_groups(groups, self.a, self.b)
+        bh = batch_band_hashes(sig_mat, self.bands)
+        nb = bh.shape[1]
+        keys = band_key_array(bh)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), nb))
+        doc = batch[self.id_col].combine_chunks().take(idx)
+        # per-band signature rows share the doc's bytes: ONE buffer +
+        # arithmetic offsets, no per-row tobytes
+        w = sig_mat.shape[1] * 8
+        rep = np.repeat(sig_mat, nb, axis=0)
+        offsets = np.arange(n * nb + 1, dtype=np.int32) * w
+        sig_col = pa.Array.from_buffers(
+            pa.binary(),
+            n * nb,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(rep.tobytes())],
+        )
+        # 64-bit content fingerprint (same md5 basis as exact_dedup): rides
+        # each band row so exact-verify mode never ships text. Per-doc md5
+        # stays a Python loop (no vectorized md5 exists) but runs once per
+        # DOC, not once per band row.
+        content = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], "little", signed=True
+                )
+                for t in texts
+            ),
+            dtype=np.int64,
+            count=n,
+        )
         return pa.table(
             {
-                "doc": pa.array(out_id, pa.int64()),
-                "bucket": pa.array(out_key, pa.string()),
-                "sig": pa.array(out_sig, pa.binary()),
-                "content": pa.array(out_content, pa.int64()),
+                "doc": doc,
+                "bucket": keys,
+                "sig": sig_col,
+                "content": pa.array(np.repeat(content, nb)),
             }
         )
 
@@ -278,12 +305,7 @@ def simhash(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> r
             ones = np.add.reduceat(bits, offs[nz], axis=0)  # (len(nz), 64)
             val_bits = (2 * ones > lens[nz][:, None]).astype(np.uint64)
             out[nz] = (val_bits << _SH_SHIFTS).sum(axis=1, dtype=np.uint64)
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "simhash": pa.array([f"{v:016x}" for v in out], pa.string()),
-            }
-        )
+        return pa.table({id_col: batch[id_col], "simhash": hex64_array(out)})
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -308,21 +330,20 @@ def simhash_hamming_pairs(
     masks = [(1 << w) - 1 for w in widths]
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        vals = np.array(
-            [int(s, 16) for s in batch[sim_col].to_pylist()], dtype=np.uint64
-        )
-        out_id, out_b, out_v = [], [], []
+        n = batch.num_rows
+        vals = parse_hex64(batch[sim_col])
+        # band-bit matrix (n, nb) → fixed-width keys via the shared
+        # vectorized renderer; no per-row f-strings
+        bb = np.empty((n, nb), dtype=np.uint64)
         for band in range(nb):
-            bb = (vals >> np.uint64(offsets[band])) & np.uint64(masks[band])
-            out_id.extend(ids)
-            out_b.extend(f"{band}:{v:x}" for v in bb)
-            out_v.extend(int(v) for v in vals)
+            bb[:, band] = (vals >> np.uint64(offsets[band])) & np.uint64(masks[band])
+        keys = band_key_array(bb)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), nb))
         return pa.table(
             {
-                "doc": pa.array(out_id, pa.int64()),
-                "bucket": pa.array(out_b, pa.string()),
-                "sim": pa.array(out_v, pa.uint64()),
+                "doc": batch[id_col].combine_chunks().take(idx),
+                "bucket": keys,
+                "sim": pa.array(np.repeat(vals, nb)),
             }
         )
 
@@ -472,17 +493,34 @@ def embedding_dedup(
     planes_holder: dict[str, np.ndarray] = {}
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        n = batch.num_rows
+        lst = batch[vec_col].combine_chunks()
+        try:
+            # fixed-dim embeddings: ONE flatten → reshape, no per-row lists
+            vecs = np.asarray(lst.flatten(), dtype=np.float64).reshape(n, -1)
+        except ValueError:  # ragged rows — fall back to the per-row path
+            vecs = np.asarray(lst.to_pylist(), dtype=np.float64)
         if "p" not in planes_holder:
             rng = np.random.default_rng(seed)
             planes_holder["p"] = rng.standard_normal((vecs.shape[1], num_planes))
         p = planes_holder["p"]
         signs = (vecs @ p) > 0
-        keys = ["".join("1" if s else "0" for s in row) for row in signs]
+        # sign pattern → np.packbits → hex chars via nibble lookup: one
+        # fixed-width utf8 key per row, no per-row "".join over bits
+        packed = np.packbits(signs, axis=1)
+        hexchars = np.empty((n, packed.shape[1] * 2), dtype=np.uint8)
+        hexchars[:, 0::2] = _HEXD[packed >> 4]
+        hexchars[:, 1::2] = _HEXD[packed & 0x0F]
+        offsets = np.arange(n + 1, dtype=np.int32) * hexchars.shape[1]
+        keys = pa.Array.from_buffers(
+            pa.utf8(),
+            n,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(hexchars.tobytes())],
+        )
         return pa.table(
             {
                 "doc": batch[id_col],
-                "bucket": pa.array(keys, pa.string()),
+                "bucket": keys,
                 "vec": batch[vec_col],
             }
         )

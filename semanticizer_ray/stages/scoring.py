@@ -478,6 +478,23 @@ MAX_ID_BYTES = 64
 HEAD_CHARS = max(LEV_CAP, JW_CAP)
 
 
+def _ascii_ids(ids: list, what: str) -> np.ndarray:
+    """Encode ids to a fixed-width S-array, naming the offender on failure.
+
+    The fixed-width side-state layout requires ASCII conv ids (they become
+    numpy 'S' buffers); a non-ASCII id would otherwise surface as a raw
+    UnicodeEncodeError deep in a Ray worker with no column context."""
+    try:
+        return np.asarray(ids, dtype="S")
+    except UnicodeEncodeError:
+        bad = next((i for i in ids if isinstance(i, str) and not i.isascii()), None)
+        raise ValueError(
+            f"{what} must be ASCII for the fixed-width scoring state "
+            f"(offending id: {bad!r}). Re-key the input or hex-encode ids "
+            "upstream."
+        ) from None
+
+
 def _fixed_binary(buf: bytes, n: int, width: int) -> pa.Array:
     return pa.FixedSizeBinaryArray.from_buffers(
         pa.binary(width), n, [None, pa.py_buffer(buf)]
@@ -506,7 +523,7 @@ def build_side_rows(profiles: rd.Dataset) -> rd.Dataset:
     def shrink(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         ids = batch["conv_id"].to_pylist()
-        ids_s = np.asarray(ids, dtype="S")  # ASCII ids (raises otherwise)
+        ids_s = _ascii_ids(ids, "conv_id")
         if n and ids_s.dtype.itemsize > MAX_ID_BYTES:
             raise ValueError(
                 f"conv_id wider than {MAX_ID_BYTES} bytes "
@@ -637,7 +654,7 @@ def _gather_and_score(
 
     def lookup(state, col, side: str) -> np.ndarray:
         convs = state[0]
-        nat = np.asarray(col.to_pylist(), dtype="S")
+        nat = _ascii_ids(col.to_pylist(), f"conv_{side}")
         if n and len(convs):
             width = convs.dtype.itemsize
             if nat.dtype.itemsize > width:

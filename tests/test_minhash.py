@@ -71,3 +71,89 @@ def test_band_hashes():
     sig2 = sig.copy()
     sig2[0], sig2[1] = sig[1], sig[0]
     assert bh[0] != band_hashes(sig2, 16)[0]
+
+
+def test_batch_band_hashes_parity():
+    """batch_band_hashes row i == band_hashes(sig[i]) exactly (the fold the
+    vectorized block-key explode relies on)."""
+    from semanticizer_ray.functions.minhash import batch_band_hashes
+
+    rng = np.random.default_rng(3)
+    mat = rng.integers(0, 2**63, size=(40, 128), dtype=np.uint64)
+    bh = batch_band_hashes(mat, 16)
+    assert bh.shape == (40, 16)
+    for i in range(40):
+        assert np.array_equal(bh[i], band_hashes(mat[i], 16))
+    # degenerate: fewer hashes than bands → all-zero hashes, right shape
+    assert batch_band_hashes(mat[:2, :8], 16).shape == (2, 16)
+
+
+def test_band_key_array_and_hex_codecs():
+    import pyarrow as pa
+
+    from semanticizer_ray.functions.minhash import batch_band_hashes
+    from semanticizer_ray.stages.blocking import (
+        band_key_array,
+        hex64_array,
+        parse_hex64,
+        sig_matrix,
+    )
+
+    rng = np.random.default_rng(9)
+    mat = rng.integers(0, 2**64, size=(10, 64), dtype=np.uint64)
+    bh = batch_band_hashes(mat, 8)
+    keys = band_key_array(bh).to_pylist()
+    expect = [f"L{b:02d}:{h:016x}" for i in range(10) for b, h in enumerate(bh[i])]
+    assert keys == expect
+    # hex64 round-trip incl. extremes
+    vals = np.array([0, 1, 2**64 - 1, 0xDEADBEEF], dtype=np.uint64)
+    col = hex64_array(vals)
+    assert col.to_pylist() == [f"{v:016x}" for v in vals]
+    assert np.array_equal(parse_hex64(col), vals)
+    # parse fallback: non-uniform widths
+    assert np.array_equal(
+        parse_hex64(pa.array(["ff", "0"])), np.array([255, 0], dtype=np.uint64)
+    )
+    # sig_matrix zero-copy view (incl. sliced array)
+    col2 = pa.array([row.tobytes() for row in mat])
+    assert np.array_equal(sig_matrix(col2, 10), mat)
+    assert np.array_equal(sig_matrix(col2.slice(3, 4), 4), mat[3:7])
+
+
+def test_doc_signatures_batch_vs_scalar():
+    """_DocSignatures (batched kernels) emits exactly the per-doc signature
+    and band keys the scalar path produces."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from semanticizer_ray.config import EngineConfig
+    from semanticizer_ray.stages.dedup import _DocSignatures
+
+    cfg = EngineConfig()
+    texts = ["the quick brown fox", "", "short", "the quick brown fox", "abcdefg " * 40]
+    ids = list(range(len(texts)))
+    batch = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    out = _DocSignatures(cfg, "doc_id", "text")(batch)
+    nb = cfg.blocking.num_bands
+    assert out.num_rows == len(texts) * nb
+    a, b = hash_params(cfg.blocking.num_hashes, cfg.seed)
+    docs = out["doc"].to_pylist()
+    sigs = out["sig"].to_pylist()
+    keys = out["bucket"].to_pylist()
+    contents = out["content"].to_pylist()
+    for i, t in enumerate(texts):
+        rows = [r for r in range(out.num_rows) if docs[r] == i]
+        assert len(rows) == nb
+        sig = minhash_signature(t, a, b, cfg.blocking.shingle_k)
+        for r in rows:
+            assert sigs[r] == sig.tobytes()
+        got_keys = [keys[r] for r in rows]
+        expect = [
+            f"L{band:02d}:{h:016x}" for band, h in enumerate(band_hashes(sig, nb))
+        ]
+        assert got_keys == expect
+        ch = int.from_bytes(
+            hashlib.md5(t.encode()).digest()[:8], "little", signed=True
+        )
+        assert all(contents[r] == ch for r in rows)
