@@ -1145,10 +1145,21 @@ FROM documents ORDER BY doc_id
 
 
 def simhash_docs(sf_dir: str) -> pd.DataFrame:
+    """SimHash dedup in exact-verify mode (same promotion pattern as
+    ``minhash_dedup_docs``): the vectorized bit-vote simhash values drive
+    the grouped shuffle, in-group connectivity is content-fingerprint
+    equality, so the output provably equals the exact-text GROUP BY and
+    the full simhash machinery is SQL-oracle-checked. The Hamming≤k
+    banding mode stays covered by pytest (band-rotation recall tests)."""
     from ..stages.dedup import simhash_dedup
 
     ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    return simhash_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out = simhash_dedup(ds, exact_verify=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# exact-verify mode output ≡ exact-text groups (see simhash_docs docstring)
+SIMHASH_DEDUP_SQL = MINHASH_DEDUP_SQL
 
 
 from ..stages.textstats import _STOPWORDS as _LANG_STOPWORDS
@@ -1257,6 +1268,42 @@ def embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def embedding_dup_pairs_exact(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed all-pairs cosine ≥ τ join (triangle block-pair
+    replication plan, stages/dedup.py::embedding_pairs_exact) with a full
+    SQL oracle: DuckDB computes every pairwise cosine via
+    list_cosine_similarity over the same parquet. Also the recall
+    reference the LSH path (``embedding_neardup_pairs``) is tested
+    against in pytest."""
+    from ..stages.dedup import embedding_pairs_exact
+
+    ds = read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = embedding_pairs_exact(ds, cosine_threshold=0.4, num_blocks=8).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "src": pd.Series(dtype="int64"),
+                "dst": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+    out["cosine"] = out["cosine"].round(4)
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+# float64 compute on both sides: the ::DOUBLE[] cast makes DuckDB lift the
+# float32 parquet values to double BEFORE the dot/norms, matching the
+# engine's float32→float64 cast; round(4) absorbs summation-order ulps
+EMB_PAIRS_EXACT_SQL = """
+SELECT a.vec_id AS src, b.vec_id AS dst,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+ORDER BY src, dst
+"""
+
+
 def doc_stopword_removal(sf_dir: str) -> pd.DataFrame:
     """M9 stopword remover + M8-style cleaning over documents (rows-only;
     raw text column passes through untouched)."""
@@ -1360,12 +1407,15 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     # exact-verify mode: LSH candidates + content-fingerprint verify ≡ the
     # exact-text GROUP BY (see minhash_dedup_docs docstring)
     "minhash_dedup_docs": (minhash_dedup_docs, MINHASH_DEDUP_SQL),
-    "simhash_docs": (simhash_docs, None),
+    # exact-verify mode (same promotion): simhash groups + fingerprint verify
+    "simhash_docs": (simhash_docs, SIMHASH_DEDUP_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_langid": (doc_langid, None),
     "doc_fingerprints": (doc_fingerprints, None),
     "knn_lsh_cosine": (knn_lsh_cosine, None),
     "embedding_neardup_pairs": (embedding_neardup_pairs, None),
+    # exact all-pairs cosine join — full SQL oracle (list_cosine_similarity)
+    "embedding_dup_pairs_exact": (embedding_dup_pairs_exact, EMB_PAIRS_EXACT_SQL),
     "sense_degrees": (sense_degrees, SENSE_DEGREES_SQL),
     "doc_stopword_removal": (doc_stopword_removal, DOC_STOPWORDS_SQL),
     "media_features": (media_features, None),

@@ -275,13 +275,21 @@ def minhash_dedup(
 _SH_SHIFTS = np.arange(64, dtype=np.uint64)
 
 
-def simhash(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+def simhash(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_content: bool = False,
+) -> rd.Dataset:
     """Adds ``simhash``: 64-bit SimHash (hex) over word-token hashes.
 
     Vectorized: every word in the batch is hashed with ONE C-speed
     ``pd.util.hash_array`` call (deterministic — fixed default hash key),
     then per-doc bit votes are a single numpy reduction; no per-word Python
-    loop (the round-1 per-word md5 kernel was the suite's slowest)."""
+    loop (the round-1 per-word md5 kernel was the suite's slowest).
+
+    ``with_content=True`` also emits the 64-bit md5 content fingerprint
+    (same basis as ``exact_dedup``) used by the exact-verify dedup mode."""
 
     def f(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -305,7 +313,23 @@ def simhash(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> r
             ones = np.add.reduceat(bits, offs[nz], axis=0)  # (len(nz), 64)
             val_bits = (2 * ones > lens[nz][:, None]).astype(np.uint64)
             out[nz] = (val_bits << _SH_SHIFTS).sum(axis=1, dtype=np.uint64)
-        return pa.table({id_col: batch[id_col], "simhash": hex64_array(out)})
+        cols = {id_col: batch[id_col], "simhash": hex64_array(out)}
+        if with_content:
+            cols["content"] = pa.array(
+                np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5((t or "").encode("utf-8")).digest()[:8],
+                            "little",
+                            signed=True,
+                        )
+                        for t in texts
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+            )
+        return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -403,12 +427,45 @@ def simhash_dedup(
     text_col: str = "text",
     hamming_k: int = 0,
     cfg: EngineConfig | None = None,
+    exact_verify: bool = False,
 ) -> rd.Dataset:
     """SimHash duplicate groups: (doc_id, dup_group = min id in group).
 
     ``hamming_k`` = 0 groups exact simhash values; k > 0 links docs within
     Hamming distance k via ``simhash_hamming_pairs`` banding + connected
-    components."""
+    components.
+
+    ``exact_verify=True`` (same pattern as ``minhash_dedup``): the SimHash
+    values still drive the grouped shuffle, but in-group connectivity is
+    64-bit content-fingerprint equality instead of simhash equality.
+    Identical texts always produce identical simhash values (the bit votes
+    are a pure function of the token multiset), so every exact-dup pair
+    lands in one simhash group and the verified components provably equal
+    the exact-text groups — an SQL-oracle-checkable mode that exercises
+    the full vectorized bit-vote + grouped-dedup machinery. (Plain
+    simhash-equality grouping would NOT be SQL-checkable: distinct texts
+    with the same token multiset — reordered words — share a simhash.)"""
+    if exact_verify:
+        sh = simhash(ds, id_col, text_col, with_content=True)
+
+        def exact_groups(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {id_col: pd.Series(dtype="int64"), "dup_group": pd.Series(dtype="int64")}
+                )
+            return pd.DataFrame(
+                {
+                    id_col: df[id_col],
+                    # content runs never split across simhash groups, so the
+                    # per-group min is the global exact-text group min
+                    "dup_group": df.groupby(["simhash", "content"], sort=False)[
+                        id_col
+                    ].transform("min"),
+                }
+            )
+
+        return sorted_apply_exact(sh, "simhash", exact_groups)
+
     sh = simhash(ds, id_col, text_col)
 
     if hamming_k > 0:
@@ -474,6 +531,115 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     if not ga or not gb:
         return 0.0
     return len(ga & gb) / len(ga | gb)
+
+
+def embedding_pairs_exact(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    num_blocks: int = 8,
+) -> rd.Dataset:
+    """EXACT all-pairs cosine ≥ τ similarity join — the brute-force baseline
+    the LSH path (``embedding_dedup``) is measured against, distributed.
+
+    Triangle (block-pair replication) plan: each row hashes to block
+    ``b = id % B`` and is emitted once per unordered block pair
+    ``(min(b, j), max(b, j))`` for j in 0..B-1 — B copies of each
+    (id, vec) row — then ONE sorted exchange co-locates every block pair
+    and the per-group kernel is a single (n_i × n_j) float64 matmul.
+    Every row pair meets in exactly one group (the pair of their blocks),
+    so the result is exact by construction, with no driver-side work:
+    shuffle volume O(n·B), compute O(n²/B) spread over B(B+1)/2
+    independent groups. Scale knob: B ≈ √(cluster cores) keeps per-group
+    matmuls cache-sized while bounding replication.
+
+    Output: (src, dst, cosine) with src < dst by id, one row per
+    qualifying pair.
+    """
+    if num_blocks < 1:
+        raise ValueError("num_blocks must be >= 1")
+    B = num_blocks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
+        blk = (ids % B).astype(np.int64)
+        # group key for (row block b, partner block j) = min*B + max —
+        # int64 keys keep the exchange sort cheap (no string render)
+        j = np.tile(np.arange(B, dtype=np.int64), n)
+        b = np.repeat(blk, B)
+        gkey = np.minimum(b, j) * B + np.maximum(b, j)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), B))
+        return pa.table(
+            {
+                "gkey": pa.array(gkey),
+                "doc": pa.array(np.repeat(ids, B)),
+                "blk": pa.array(b),
+                "vec": batch[vec_col].combine_chunks().take(idx),
+            }
+        )
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+
+    def cross_block(df: pd.DataFrame) -> pd.DataFrame:
+        src, dst, cos = [], [], []
+        if len(df):
+            df = df.sort_values(["gkey", "blk", "doc"])
+            gkeys = df["gkey"].to_numpy()
+            ids = df["doc"].to_numpy()
+            blks = df["blk"].to_numpy()
+            vecs = df["vec"].to_numpy()
+            starts = np.append(group_starts(gkeys), len(df))
+            for gi in range(len(starts) - 1):
+                lo, hi = starts[gi], starts[gi + 1]
+                gk = int(gkeys[lo])
+                bi, bj = gk // B, gk % B
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in vecs[lo:hi]]
+                )
+                norms = np.linalg.norm(V, axis=1)
+                norms[norms == 0] = 1.0
+                Vn = V / norms[:, None]
+                if bi == bj:  # diagonal group: pairs within one block
+                    m = hi - lo
+                    if m < 2:
+                        continue
+                    C = Vn @ Vn.T
+                    iu, ju = np.triu_indices(m, k=1)
+                    keep = C[iu, ju] >= cosine_threshold
+                    ia, ja = lo + iu[keep], lo + ju[keep]
+                    cv = C[iu, ju][keep]
+                else:  # off-diagonal: cross product of the two sides
+                    side = blks[lo:hi] == bi
+                    na = int(side.sum())
+                    if na == 0 or na == hi - lo:
+                        continue
+                    A, Bn = Vn[side], Vn[~side]
+                    C = A @ Bn.T
+                    iu, ju = np.nonzero(C >= cosine_threshold)
+                    ai = (lo + np.flatnonzero(side))[iu]
+                    bj_idx = (lo + np.flatnonzero(~side))[ju]
+                    ia = np.minimum(ids[ai], ids[bj_idx])
+                    ja = np.maximum(ids[ai], ids[bj_idx])
+                    # ia/ja already id values here; emit directly
+                    src.extend(int(x) for x in ia)
+                    dst.extend(int(x) for x in ja)
+                    cos.extend(float(c) for c in C[iu, ju])
+                    continue
+                a, bidx = ids[ia], ids[ja]
+                src.extend(int(x) for x in np.minimum(a, bidx))
+                dst.extend(int(x) for x in np.maximum(a, bidx))
+                cos.extend(float(c) for c in cv)
+        return pd.DataFrame(
+            {
+                "src": pd.Series(src, dtype="int64"),
+                "dst": pd.Series(dst, dtype="int64"),
+                "cosine": pd.Series(cos, dtype="float64"),
+            }
+        )
+
+    return sorted_apply_exact(rows, "gkey", cross_block)
 
 
 def embedding_dedup(

@@ -195,3 +195,105 @@ def test_fingerprint_properties(ray_session):
     b = fingerprint(rd.from_pandas(docs).repartition(5)).to_pandas().sort_values("doc_id")
     assert list(a["fp"]) == list(b["fp"])
     assert a["fp"].nunique() == len(a)
+
+
+def test_simhash_exact_verify_equals_exact_groups(ray_session):
+    """exact_verify mode: simhash-grouped shuffle + content-fingerprint
+    verify must reproduce exact-text groups — in particular, distinct
+    texts with the SAME word multiset (identical simhash by construction)
+    must NOT group."""
+    import ray.data as rd
+
+    from semanticizer_ray.stages.dedup import simhash, simhash_dedup
+
+    a = "alpha beta gamma delta epsilon"
+    b = "epsilon delta gamma beta alpha"  # same multiset → same simhash
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [a, a, b, "other"]})
+    ds = rd.from_pandas(docs)
+
+    sh = simhash(ds).to_pandas()
+    v = dict(zip(sh["doc_id"], sh["simhash"]))
+    assert v[1] == v[3]  # the hazard exact_verify exists to defuse
+
+    out = simhash_dedup(ds, exact_verify=True).to_pandas()
+    g = dict(zip(out["doc_id"], out["dup_group"]))
+    assert g[1] == g[2] == 1
+    assert g[3] == 3 and g[4] == 4
+
+
+def _brute_cosine_pairs(ids, vecs, tau):
+    V = np.asarray(vecs, dtype=np.float64)
+    n = np.linalg.norm(V, axis=1)
+    n[n == 0] = 1.0
+    Vn = V / n[:, None]
+    C = Vn @ Vn.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = C[iu, ju] >= tau
+    return {
+        (min(ids[i], ids[j]), max(ids[i], ids[j])): C[i, j]
+        for i, j in zip(iu[keep], ju[keep])
+    }
+
+
+def test_embedding_pairs_exact_matches_bruteforce(ray_session):
+    """The triangle block-pair plan is EXACT: pair set and cosines equal the
+    driver-side all-pairs reference, for any block count (B=1 degenerate,
+    B=5 non-dividing, B=8 default)."""
+    import ray.data as rd
+
+    from semanticizer_ray.stages.dedup import embedding_pairs_exact
+
+    rng = np.random.default_rng(7)
+    n, d, tau = 60, 16, 0.55
+    vecs = rng.standard_normal((n, d))
+    # plant correlated pairs so the threshold keeps a non-trivial set
+    vecs[10] = vecs[3] + 0.1 * rng.standard_normal(d)
+    vecs[41] = vecs[20] + 0.05 * rng.standard_normal(d)
+    ids = list(range(100, 100 + n))
+    want = _brute_cosine_pairs(ids, vecs, tau)
+    assert len(want) > 2
+
+    df = pd.DataFrame({"vec_id": ids, "embedding": [list(v) for v in vecs]})
+    for nb in (1, 5, 8):
+        out = embedding_pairs_exact(
+            rd.from_pandas(df).repartition(4), cosine_threshold=tau, num_blocks=nb
+        ).to_pandas()
+        got = {
+            (int(r.src), int(r.dst)): float(r.cosine) for r in out.itertuples()
+        }
+        assert set(got) == set(want), f"pair set mismatch at B={nb}"
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_embedding_lsh_subset_of_exact_with_high_threshold_recall(ray_session):
+    """LSH near-dup pairs are a SUBSET of the exact join; at a high
+    threshold with planted near-identical vectors (tiny perturbations keep
+    every hyperplane sign w.h.p.) the LSH path recovers the planted pairs."""
+    import ray.data as rd
+
+    from semanticizer_ray.stages.dedup import embedding_dedup, embedding_pairs_exact
+
+    rng = np.random.default_rng(11)
+    n, d, tau = 80, 24, 0.995
+    base = rng.standard_normal((n, d)) * 4.0  # well away from the planes
+    vecs = list(base)
+    planted = []
+    for src in (5, 17, 33):
+        dup = base[src] + 1e-4 * rng.standard_normal(d)
+        planted.append((src, len(vecs)))
+        vecs.append(dup)
+    ids = list(range(len(vecs)))
+    df = pd.DataFrame({"vec_id": ids, "embedding": [list(v) for v in vecs]})
+    ds = rd.from_pandas(df)
+
+    exact = embedding_pairs_exact(ds, cosine_threshold=tau, num_blocks=4).to_pandas()
+    lsh = embedding_dedup(ds, cosine_threshold=tau).to_pandas()
+    exact_set = {(int(r.src), int(r.dst)) for r in exact.itertuples()}
+    lsh_set = {(int(r.src), int(r.dst)) for r in lsh.itertuples()}
+    assert lsh_set <= exact_set
+    for a, b in planted:
+        assert (min(a, b), max(a, b)) in exact_set
+    # recall of the LSH path on the planted near-identical pairs
+    hits = sum((min(a, b), max(a, b)) in lsh_set for a, b in planted)
+    assert hits == len(planted)
