@@ -142,6 +142,64 @@ def gen_link_corpus(
     )
 
 
+_TRANS_LANGS = ["de", "es", "fr", "it", "nl"]
+
+
+def gen_translations(entities: pa.Table, seed: int) -> pa.Table:
+    """J5 side table: per-sense translated titles (reference D7 —
+    ``WpmLoader.load_translations``: page_id → {langcode: title}).
+
+    Deterministic: each (sense, lang) pair is present with p≈0.7 under the
+    fixture rng; the "translation" is a marker-prefixed word reversal of
+    the title (no external data). Column named ``trans_title`` (not
+    ``title``) so the enrichment join needs no rename."""
+    rng = np.random.default_rng(seed + 7)
+    sense_ids = entities["sense_id"].to_numpy()
+    titles = entities["title"].to_pylist()
+    present = rng.random((len(titles), len(_TRANS_LANGS))) < 0.7
+    out_sid, out_lang, out_title = [], [], []
+    for i, title in enumerate(titles):
+        flipped = " ".join(reversed(title.split(" ")))
+        for j, lang in enumerate(_TRANS_LANGS):
+            if present[i, j]:
+                out_sid.append(int(sense_ids[i]))
+                out_lang.append(lang)
+                out_title.append(f"{lang}:{flipped}")
+    return pa.table(
+        {
+            "sense_id": pa.array(np.asarray(out_sid, dtype=np.int64)),
+            "lang": pa.array(out_lang, pa.string()),
+            "trans_title": pa.array(out_title, pa.string()),
+        }
+    )
+
+
+def gen_pageviews(entities: pa.Table, seed: int, n_days: int = 14) -> pa.Table:
+    """F4 side table: daily page-view counts per sense (reference
+    ``StatisticsProcessor``: external per-article view statistics —
+    recast as a Parquet fact table, no external service).
+
+    Zipfian per-entity base rate × a shared daily factor, Poisson counts;
+    fully vectorized. ``day`` is an int32 day index (0 = oldest) so the
+    trend split (first week vs second week) is oracle-trivial."""
+    rng = np.random.default_rng(seed + 11)
+    n_ent = entities.num_rows
+    base = 1000.0 / np.arange(1, n_ent + 1) ** 1.05
+    daily = 0.8 + 0.4 * rng.random(n_days)
+    views = rng.poisson(np.outer(base, daily))
+    return pa.table(
+        {
+            "sense_id": pa.array(
+                np.repeat(entities["sense_id"].to_numpy(), n_days)
+            ),
+            "day": pa.array(
+                np.tile(np.arange(n_days, dtype=np.int32), n_ent)
+            ),
+            "views": pa.array(views.reshape(-1).astype(np.int64)),
+        }
+    )
+
+
 def _make_turn_text(rng: np.random.Generator, entity_title: str) -> str:
     tmpl = _TEMPLATES[rng.integers(0, len(_TEMPLATES))]
     n_f = rng.integers(8, 20)
@@ -315,6 +373,8 @@ def write_fixture_set(out_dir: str, n_convs: int, seed: int = 42) -> dict[str, s
         ("link_corpus", corpus),
         ("transcripts", transcripts),
         ("clusters_truth", truth),
+        ("translations", gen_translations(entities, seed)),
+        ("pageviews", gen_pageviews(entities, seed)),
     ]:
         p = os.path.join(out_dir, f"{name}.parquet")
         # big tables shard into a directory of part files (readers accept

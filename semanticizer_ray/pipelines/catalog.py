@@ -1016,9 +1016,13 @@ def ensure_er_quality_artifacts() -> None:
     carry the current code+config fingerprint, so the ER-quality oracle SQL
     never re-clusters match edges written by a previous code version (the
     query side reuses the same fingerprinted run; both sides see the same
-    edges)."""
+    edges). Also ensures the fixture's generated side tables (translations,
+    pageviews) exist — the J5/F4 oracles read them from the same dir."""
     if not _erq_fresh():
         _erq_run()
+    fx = _erq_fixture_dir()
+    _side_table(fx, "translations")
+    _side_table(fx, "pageviews")
 
 
 def er_quality(sf_dir: str) -> pd.DataFrame:
@@ -1361,6 +1365,141 @@ FROM l GROUP BY sense_id ORDER BY sense_id
 """
 
 
+def _side_table(fx: str, name: str) -> str:
+    """Path to a generated side table (``translations`` / ``pageviews``),
+    created on demand for fixture dirs written before these tables existed.
+    Deterministic from the dir's ``entities.parquet`` + the fixture seed
+    (42 everywhere), so concurrent same-user writes are byte-identical and
+    the atomic replace can interleave safely."""
+    p = os.path.join(fx, f"{name}.parquet")
+    if not os.path.exists(p):
+        import pyarrow.parquet as pq
+
+        from ..gen import gen_pageviews, gen_translations
+
+        ents = pq.read_table(os.path.join(fx, "entities.parquet"))
+        gen = gen_translations if name == "translations" else gen_pageviews
+        tmp = f"{p}.tmp{os.getpid()}"
+        pq.write_table(gen(ents, 42), tmp, row_group_size=32768)
+        os.replace(tmp, p)
+    return p
+
+
+def sense_translations(sf_dir: str) -> pd.DataFrame:
+    """J5 translations lookup (reference D7: ``WpmLoader.load_translations``,
+    page_id → {langcode: title}; SURVEY.md §2.1 J5): enrich the sense
+    registry with translated titles for a configured language set.
+
+    Routed through the general gated join operator (J2): the lang-filtered
+    translations side is small (≤ |senses| × |langs|) so the broadcast plan
+    serves it; against a real dump the same call flips to the distributed
+    sort-merge plan past the row gate — no driver-side lookup loop."""
+    from ..functions.joins import join
+
+    fx = _erq_fixture_dir()
+    langs = pa.array(["de", "nl"])
+    ents = read_table(
+        os.path.join(fx, "entities.parquet"), columns=["sense_id", "title"]
+    )
+    trans = read_table(_side_table(fx, "translations")).map_batches(
+        lambda t: t.filter(pc.is_in(t["lang"], value_set=langs)),
+        batch_format="pyarrow",
+    )
+    out = (
+        join(ents, trans, on="sense_id")
+        .to_pandas()
+        .sort_values(["sense_id", "lang"])
+        .reset_index(drop=True)
+    )
+    return out[["sense_id", "title", "lang", "trans_title"]]
+
+
+SENSE_TRANSLATIONS_SQL = f"""
+SELECT e.sense_id, e.title, t.lang, t.trans_title
+FROM read_parquet('{_ERQ_DIR}/entities.parquet') e
+JOIN read_parquet('{_ERQ_DIR}/translations.parquet') t USING (sense_id)
+WHERE t.lang IN ('de', 'nl')
+ORDER BY e.sense_id, t.lang
+"""
+
+
+def sense_view_stats(sf_dir: str) -> pd.DataFrame:
+    """F4 statistics features (reference ``StatisticsProcessor``: external
+    per-article page-view statistics; SURVEY.md §2.1 F4) recast as a Parquet
+    fact table — no external service. Per sense: total/max/mean daily views
+    plus a week-over-week trend ratio.
+
+    Scale shape: the pageviews table is |senses| × |days| (a fact table at
+    dump scale), so the plan is a vectorized per-batch partial aggregate
+    followed by the count-gated combine — the pre-aggregate-before-shuffle
+    pattern, never a raw-row groupby exchange."""
+    from ..functions.groupagg import sorted_grouped_agg
+
+    fx = _erq_fixture_dir()
+    pv = read_table(_side_table(fx, "pageviews"))
+
+    _AGG = dict(
+        views_sum=("views_sum", "sum"),
+        views_max=("views_max", "max"),
+        days_seen=("days_seen", "sum"),
+        recent_sum=("recent_sum", "sum"),
+        early_sum=("early_sum", "sum"),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"views": "views_sum"})
+        df["views_max"] = df["views_sum"]
+        df["days_seen"] = np.int64(1)
+        recent = df["day"].to_numpy() >= 7
+        v = df["views_sum"].to_numpy()
+        df["recent_sum"] = np.where(recent, v, 0)
+        df["early_sum"] = np.where(recent, 0, v)
+        return (
+            df.groupby("sense_id", sort=False).agg(**_AGG).reset_index()
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "sense_id": pd.Series(dtype="int64"),
+                    **{k: pd.Series(dtype="int64") for k in _AGG},
+                }
+            )
+        return df.groupby("sense_id", sort=False).agg(**_AGG).reset_index()
+
+    out = sorted_grouped_agg(
+        pv.map_batches(partial, batch_format="pandas"),
+        "sense_id",
+        combine,
+        driver_gate=100_000,
+    ).to_pandas()
+    # per-key derived features on the final (small) aggregate
+    out["views_avg"] = (out["views_sum"] / out["days_seen"]).round(6)
+    out["trend_ratio"] = (
+        out["recent_sum"] / out["early_sum"].clip(lower=1)
+    ).round(6)
+    return (
+        out.drop(columns=["recent_sum", "early_sum"])
+        .sort_values("sense_id")
+        .reset_index(drop=True)
+    )
+
+
+SENSE_VIEW_STATS_SQL = f"""
+SELECT sense_id,
+       CAST(sum(views) AS BIGINT) AS views_sum,
+       CAST(max(views) AS BIGINT) AS views_max,
+       CAST(count(*) AS BIGINT) AS days_seen,
+       round(CAST(sum(views) AS DOUBLE) / count(*), 6) AS views_avg,
+       round(CAST(sum(CASE WHEN day >= 7 THEN views ELSE 0 END) AS DOUBLE)
+             / greatest(sum(CASE WHEN day < 7 THEN views ELSE 0 END), 1), 6)
+         AS trend_ratio
+FROM read_parquet('{_ERQ_DIR}/pageviews.parquet')
+GROUP BY sense_id ORDER BY sense_id
+"""
+
+
 def media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: synthetic media table → decode/feature actor
     pool (deterministic fake decode; rows-only)."""
@@ -1417,6 +1556,9 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     # exact all-pairs cosine join — full SQL oracle (list_cosine_similarity)
     "embedding_dup_pairs_exact": (embedding_dup_pairs_exact, EMB_PAIRS_EXACT_SQL),
     "sense_degrees": (sense_degrees, SENSE_DEGREES_SQL),
+    # J5 translations lookup / F4 external statistics — full SQL oracles
+    "sense_translations": (sense_translations, SENSE_TRANSLATIONS_SQL),
+    "sense_view_stats": (sense_view_stats, SENSE_VIEW_STATS_SQL),
     "doc_stopword_removal": (doc_stopword_removal, DOC_STOPWORDS_SQL),
     "media_features": (media_features, None),
 }

@@ -88,3 +88,37 @@ def test_duplicates_are_similar():
     assert float(np.median(dup_jac)) > 0.7, f"dup median: {np.median(dup_jac)}"
     assert min(dup_jac) > 0.3, f"duplicates too dissimilar: {min(dup_jac)}"
     assert max(nondup_jac) < 0.4, f"non-duplicates too similar: {max(nondup_jac)}"
+
+
+def test_translations_and_pageviews_side_tables():
+    """J5/F4 side tables: deterministic, correctly shaped, joinable."""
+    from semanticizer_ray.gen import gen_pageviews, gen_translations
+
+    ents = gen_entities(50, seed=42)
+    t1, t2 = gen_translations(ents, 42), gen_translations(ents, 42)
+    assert t1.equals(t2)
+    assert t1.schema.names == ["sense_id", "lang", "trans_title"]
+    sid = np.asarray(t1["sense_id"])
+    assert sid.min() >= 0 and sid.max() < 50
+    langs = set(t1["lang"].to_pylist())
+    assert langs <= {"de", "es", "fr", "it", "nl"} and len(langs) == 5
+    # at most one row per (sense, lang)
+    pairs = list(zip(sid.tolist(), t1["lang"].to_pylist()))
+    assert len(pairs) == len(set(pairs))
+    # translated title carries the lang marker prefix
+    assert all(
+        tt.startswith(f"{lg}:") for lg, tt in zip(t1["lang"].to_pylist(),
+                                                  t1["trans_title"].to_pylist())
+    )
+
+    p1, p2 = gen_pageviews(ents, 42), gen_pageviews(ents, 42)
+    assert p1.equals(p2)
+    assert p1.schema.names == ["sense_id", "day", "views"]
+    assert p1.num_rows == 50 * 14
+    day = np.asarray(p1["day"])
+    assert day.min() == 0 and day.max() == 13
+    views = np.asarray(p1["views"])
+    assert (views >= 0).all() and views.sum() > 0
+    # Zipfian: head entity out-views the tail entity
+    v = views.reshape(50, 14).sum(axis=1)
+    assert v[0] > v[-1]
