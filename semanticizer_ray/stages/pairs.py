@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import sys
 import time
 
 import numpy as np
@@ -115,9 +116,11 @@ def _hot_plan(hot: dict[str, int], cfg: EngineConfig) -> dict[str, int]:
     dropped = [k for k, n in hot.items() if k.startswith("A:") and n > anchor_cap]
     if dropped:
         worst = max(hot[k] for k in dropped)
+        # stderr: bench.py / the driver parse stdout as one JSON line
         print(
             f"[blocking] dropping {len(dropped)} anchor keys above cap "
-            f"{anchor_cap} (max block {worst})"
+            f"{anchor_cap} (max block {worst})",
+            file=sys.stderr,
         )
     plan: dict[str, int] = {}
     for k, n in hot.items():
