@@ -1017,12 +1017,16 @@ def ensure_er_quality_artifacts() -> None:
     never re-clusters match edges written by a previous code version (the
     query side reuses the same fingerprinted run; both sides see the same
     edges). Also ensures the fixture's generated side tables (translations,
-    pageviews) exist — the J5/F4 oracles read them from the same dir."""
+    pageviews) exist — the J5/F4 oracles read them from the same dir — and
+    the anchor-dict artifact the er_mentions oracle reads (idempotent; a
+    fresh fingerprint implies the same code built it, but re-ensure in case
+    only the dict cache was deleted)."""
     if not _erq_fresh():
         _erq_run()
     fx = _erq_fixture_dir()
     _side_table(fx, "translations")
     _side_table(fx, "pageviews")
+    _anchor_dict_table(fx, EngineConfig())
 
 
 def er_quality(sf_dir: str) -> pd.DataFrame:
@@ -1113,18 +1117,90 @@ FROM m
 
 
 def er_mentions(sf_dir: str) -> pd.DataFrame:
-    """T3 anchor mention extraction on synthetic transcripts (rows-only)."""
+    """T3 anchor mention extraction, now a FULL SQL oracle: pinned to the
+    fixed ER-quality fixture (the ``sense_degrees`` promotion pattern) so
+    DuckDB can ``read_parquet`` the same transcripts + anchor-dict artifact.
+
+    Why the oracle is exact on this corpus: fixture turn text is lowercase
+    ASCII words joined by single spaces (gen.py templates/filler/titles), so
+    the engine's ``\\w+`` tokenizer ≡ ``string_split(text, ' ')``, char spans
+    are cumulative token lengths, ``" ".join(tokens)`` ≡ the original text
+    slice, and ``normalize_text`` is the identity on every surface n-gram —
+    which lets plain SQL re-derive every (span, label, sense, probability)
+    row the actor-pool matcher emits. Unicode/punctuation tokenization and
+    normalization stay pinned by golden-vector tests (tests/test_mentions.py,
+    tests/test_normalize.py). Default config: thresholds 0.0, no
+    unique-per-sense — the SQL mirrors those defaults."""
     from ..stages.mentions import extract_mentions
     from ..stages.normalize_turns import normalize_turns
 
-    fx = _er_fixture_dir(sf_dir)
+    fx = _erq_fixture_dir()
     cfg = EngineConfig()
     dict_table = _anchor_dict_table(fx, cfg)
     ds = normalize_turns(read_transcripts(os.path.join(fx, "transcripts.parquet")), cfg)
     out = extract_mentions(ds, dict_table, cfg).to_pandas()
-    return out.sort_values(["conv_id", "turn_idx", "start", "end", "sense_id"]).reset_index(
-        drop=True
-    )
+    return out.sort_values(
+        ["conv_id", "turn_idx", "start", "end", "label", "sense_id"]
+    ).reset_index(drop=True)
+
+
+# anchor-dict artifact for the fixed ER-quality fixture (written by
+# _anchor_dict_table; ensured alongside the er_quality artifacts)
+_ERQ_DICT = os.path.join(
+    _ERQ_DIR, f"anchor_dict_{EngineConfig().config_hash()}.parquet"
+)
+
+ER_MENTIONS_SQL = f"""
+WITH turns AS (
+  SELECT conv_id, turn_idx, text
+  FROM read_parquet('{_ERQ_DIR}/transcripts.parquet')
+),
+toks AS (
+  SELECT conv_id, turn_idx, text,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(range(1, array_length(string_split(text, ' ')) + 1)) AS pos
+  FROM turns
+),
+spans AS (
+  SELECT conv_id, turn_idx, text, tok, pos,
+    CAST(coalesce(sum(length(tok) + 1) OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS tok_start
+  FROM toks
+),
+ngrams AS (
+  -- n = 1..5 word n-grams; surfaces longer than the longest dictionary
+  -- norm simply match nothing, so the unconditional n<=5 join equals the
+  -- engine's min(max_ngram, dict.max_words) cap
+  SELECT a.conv_id, a.turn_idx,
+         a.tok_start AS start,
+         CAST(b.tok_start + length(b.tok) AS INT) AS "end",
+         substr(a.text, a.tok_start + 1,
+                b.tok_start + length(b.tok) - a.tok_start) AS ngram
+  FROM spans a
+  JOIN spans b
+    ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+   AND b.pos BETWEEN a.pos AND a.pos + 4
+),
+d AS (
+  SELECT label, norm, link_occ, link_doc,
+    CASE WHEN text_doc > 0 THEN CAST(link_doc AS DOUBLE) / text_doc
+         ELSE 0.0 END AS link_probability,
+    unnest(senses, recursive := true)
+  FROM read_parquet('{_ERQ_DICT}')
+)
+SELECT g.conv_id, g.turn_idx, g.start, g."end", g.ngram,
+       d.label, d.link_probability,
+       d.sense_id,
+       CASE WHEN d.link_occ > 0 THEN CAST(d.occ AS DOUBLE) / d.link_occ
+            ELSE 0.0 END AS prior_probability,
+       CASE WHEN d.link_doc > 0 THEN CAST(d.doc AS DOUBLE) / d.link_doc
+            ELSE 0.0 END AS sense_probability,
+       d.link_doc AS label_link_doc
+FROM ngrams g
+JOIN d ON d.norm = g.ngram
+ORDER BY g.conv_id, g.turn_idx, g.start, g."end", d.label, d.sense_id
+"""
 
 
 def minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
@@ -1542,7 +1618,7 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "er_clusters": (er_clusters, None),
     "er_clusters_scatter": (er_clusters_scatter, None),
     "er_quality": (er_quality, ER_QUALITY_SQL),
-    "er_mentions": (er_mentions, None),
+    "er_mentions": (er_mentions, ER_MENTIONS_SQL),
     # exact-verify mode: LSH candidates + content-fingerprint verify ≡ the
     # exact-text GROUP BY (see minhash_dedup_docs docstring)
     "minhash_dedup_docs": (minhash_dedup_docs, MINHASH_DEDUP_SQL),
