@@ -1296,11 +1296,53 @@ FROM r ORDER BY doc_id
 
 
 def doc_langid(sf_dir: str) -> pd.DataFrame:
+    """M10 language-ID, now a FULL SQL oracle. The testdata document text is
+    lowercase single-space ASCII, so the non-latin script tier never fires
+    and ``\\S+``-tokenize + lowercase ≡ ``string_split`` — the stopword
+    profile vote (first 200 tokens, strict-greater argmax in profile order)
+    is re-derived in plain SQL from the same ``_STOPWORDS`` profiles.
+    Script-tier behavior (CJK/kana/hangul/cyrillic) stays pinned by
+    golden-vector tests in tests/test_dedup_textstats.py."""
     from ..stages.textstats import lang_id
 
     ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
     out = lang_id(ds).to_pandas()[["doc_id", "lang", "lang_pred"]]
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _langid_sql() -> str:
+    from ..stages.textstats import _STOPWORDS
+
+    vals = ", ".join(
+        f"('{lang}', '{w}', {prio})"
+        for prio, (lang, stops) in enumerate(_STOPWORDS.items())
+        for w in sorted(stops)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')[1:200]) AS w
+  FROM documents
+),
+profile(lang, w, prio) AS (VALUES {vals}),
+votes AS (
+  SELECT t.doc_id, p.lang, p.prio, count(*) AS k
+  FROM toks t JOIN profile p ON p.w = t.w
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY k DESC, prio ASC) AS rn
+  FROM votes
+)
+SELECT d.doc_id, d.lang, coalesce(b.lang, 'unknown') AS lang_pred
+FROM documents d
+LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+ORDER BY d.doc_id
+"""
+
+
+DOC_LANGID_SQL = _langid_sql()
 
 
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
@@ -1625,7 +1667,7 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     # exact-verify mode (same promotion): simhash groups + fingerprint verify
     "simhash_docs": (simhash_docs, SIMHASH_DEDUP_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
-    "doc_langid": (doc_langid, None),
+    "doc_langid": (doc_langid, DOC_LANGID_SQL),
     "doc_fingerprints": (doc_fingerprints, None),
     "knn_lsh_cosine": (knn_lsh_cosine, None),
     "embedding_neardup_pairs": (embedding_neardup_pairs, None),
