@@ -1029,6 +1029,40 @@ def ensure_er_quality_artifacts() -> None:
     _anchor_dict_table(fx, EngineConfig())
 
 
+def er_cluster_assignments(sf_dir: str) -> pd.DataFrame:
+    """T9 cluster ASSIGNMENTS hash-gated row-by-row (er_quality gates only
+    the aggregate metrics): returns every (conv_id, cluster_id) from the
+    fingerprinted flagship run on the fixed ER-quality fixture; the DuckDB
+    oracle re-derives each assignment INDEPENDENTLY from the engine's match
+    edges via recursive-CTE min-label components (canonical cluster id =
+    min conv_id in the component, matching ``_UnionFind``'s min-id-wins
+    union and the distributed min-label propagation — clustering.py:68)."""
+    import pyarrow.parquet as pq
+
+    ensure_er_quality_artifacts()
+    out = pq.read_table(_ERQ_CLUSTERS).to_pandas()
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+ER_CLUSTER_ASSIGN_SQL = f"""
+WITH RECURSIVE
+nodes AS (
+  SELECT conv_id FROM read_parquet('{_ERQ_DIR}/clusters_truth.parquet')
+),
+edges AS (
+  SELECT conv_a AS a, conv_b AS b FROM read_parquet('{_ERQ_EDGES}')
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+walk(node, label) AS (
+  SELECT conv_id, conv_id FROM nodes
+  UNION
+  SELECT s.a, w.label FROM sym s JOIN walk w ON s.b = w.node WHERE w.label < s.a
+)
+SELECT node AS conv_id, min(label) AS cluster_id
+FROM walk GROUP BY node ORDER BY conv_id
+"""
+
+
 def er_quality(sf_dir: str) -> pd.DataFrame:
     """Driver-visible ER-quality gate: pairwise precision/recall/F1 of the
     flagship clusters vs the generator's PLANTED truth, on a fixed
@@ -1660,6 +1694,7 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "er_clusters": (er_clusters, None),
     "er_clusters_scatter": (er_clusters_scatter, None),
     "er_quality": (er_quality, ER_QUALITY_SQL),
+    "er_cluster_assignments": (er_cluster_assignments, ER_CLUSTER_ASSIGN_SQL),
     "er_mentions": (er_mentions, ER_MENTIONS_SQL),
     # exact-verify mode: LSH candidates + content-fingerprint verify ≡ the
     # exact-text GROUP BY (see minhash_dedup_docs docstring)
