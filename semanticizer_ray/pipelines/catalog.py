@@ -1380,11 +1380,60 @@ DOC_LANGID_SQL = _langid_sql()
 
 
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Document fingerprinting (64-bit polynomial rolling hash + murmur
+    avalanche), now a FULL SQL oracle: DuckDB re-derives every fingerprint
+    with HUGEINT mod-2^64 arithmetic — a recursive CTE for the prime-power
+    sequence, a per-byte (byte·prime^i) mod 2^64 sum, then the xor-shift /
+    modmul avalanche with the 64×64→64 multiply split into 32-bit halves.
+    ``ascii(substr(...))`` equals the UTF-8 byte only on ASCII text (true of
+    the testdata corpus); non-ASCII byte-level hashing stays pinned by
+    pytest (tests/test_dedup_textstats.py)."""
     from ..stages.textstats import fingerprint
 
     ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = fingerprint(ds).to_pandas()[["doc_id", "fp"]]
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_M64 = "18446744073709551616"  # 2^64; FNV prime / seed / murmur MIX below
+DOC_FINGERPRINTS_SQL = f"""
+WITH RECURSIVE
+docs AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+),
+maxn AS (SELECT max(n) AS m FROM docs),
+pw(i, v) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT i + 1, (v * 1099511628211) % {_M64} FROM pw, maxn WHERE i + 1 < maxn.m
+),
+chars AS (
+  SELECT d.doc_id, p.i,
+         CAST(ascii(substr(d.text, p.i + 1, 1)) AS HUGEINT) AS byte, p.v
+  FROM docs d JOIN pw p ON p.i < d.n
+),
+sums AS (SELECT doc_id, sum((byte * v) % {_M64}) AS s FROM chars GROUP BY doc_id),
+acc0 AS (
+  SELECT d.doc_id,
+         CAST((14695981039346656037 + coalesce(s.s, 0)) % {_M64} AS UBIGINT) AS x
+  FROM docs d LEFT JOIN sums s USING (doc_id)
+),
+av1 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM acc0),
+mul AS (
+  SELECT doc_id,
+    CAST((
+      (CAST(x & 4294967295 AS HUGEINT) * 18397679294719823053) +
+      (((CAST(x >> 32 AS HUGEINT) * 18397679294719823053) % 4294967296)
+        * 4294967296)
+    ) % {_M64} AS UBIGINT) AS x
+  FROM av1
+),
+av2 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM mul)
+SELECT doc_id,
+       printf('%08x%08x', CAST(x >> 32 AS BIGINT),
+              CAST(x & 4294967295 AS BIGINT)) AS fp
+FROM av2 ORDER BY doc_id
+"""
 
 
 def knn_lsh_cosine(sf_dir: str) -> pd.DataFrame:
@@ -1703,7 +1752,7 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "simhash_docs": (simhash_docs, SIMHASH_DEDUP_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_langid": (doc_langid, DOC_LANGID_SQL),
-    "doc_fingerprints": (doc_fingerprints, None),
+    "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "knn_lsh_cosine": (knn_lsh_cosine, None),
     "embedding_neardup_pairs": (embedding_neardup_pairs, None),
     # exact all-pairs cosine join — full SQL oracle (list_cosine_similarity)

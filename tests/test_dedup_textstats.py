@@ -197,6 +197,34 @@ def test_fingerprint_properties(ray_session):
     assert a["fp"].nunique() == len(a)
 
 
+def test_fingerprint_matches_scalar_reference(ray_session):
+    """Byte-exact parity vs an independent per-byte scalar reference
+    (UTF-8 byte-level FNV polynomial + murmur avalanche), including empty
+    text and multi-byte non-ASCII — the cases the ASCII-only DuckDB oracle
+    (catalog.DOC_FINGERPRINTS_SQL) cannot cover."""
+    import ray.data as rd
+
+    from semanticizer_ray.stages.textstats import fingerprint
+
+    texts = ["", "a", "héllo wörld", "日本語テキスト", "mixed ascii + ünïcode", "a" * 3000]
+
+    def ref(t: str) -> str:
+        mask = (1 << 64) - 1
+        p, s = 1, 0
+        for byte in t.encode("utf-8"):
+            s = (s + byte * p) & mask
+            p = (p * 1099511628211) & mask
+        acc = (14695981039346656037 + s) & mask
+        acc ^= acc >> 33
+        acc = (acc * 0xFF51AFD7ED558CCD) & mask
+        acc ^= acc >> 33
+        return f"{acc:016x}"
+
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = fingerprint(rd.from_pandas(docs)).to_pandas().sort_values("doc_id")
+    assert list(got["fp"]) == [ref(t) for t in texts]
+
+
 def test_simhash_exact_verify_equals_exact_groups(ray_session):
     """exact_verify mode: simhash-grouped shuffle + content-fingerprint
     verify must reproduce exact-text groups — in particular, distinct
