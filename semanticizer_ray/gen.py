@@ -403,4 +403,12 @@ def write_fixture_set(out_dir: str, n_convs: int, seed: int = 42) -> dict[str, s
         else:
             pq.write_table(tbl, p, row_group_size=32768)
         paths[name] = p
+    # record the seed so on-demand regeneration (catalog._side_table for
+    # pre-r4 dirs) uses the seed this dir was actually built with
+    import json
+
+    mtmp = os.path.join(out_dir, f".fixture_manifest.json.tmp{os.getpid()}")
+    with open(mtmp, "w") as f:
+        json.dump({"seed": seed, "n_convs": n_convs}, f)
+    os.replace(mtmp, os.path.join(out_dir, "fixture_manifest.json"))
     return paths

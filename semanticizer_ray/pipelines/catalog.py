@@ -1500,11 +1500,14 @@ def embedding_dup_pairs_exact(sf_dir: str) -> pd.DataFrame:
 # float32 parquet values to double BEFORE the dot/norms, matching the
 # engine's float32→float64 cast; round(4) absorbs summation-order ulps
 EMB_PAIRS_EXACT_SQL = """
-SELECT a.vec_id AS src, b.vec_id AS dst,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
-         AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+SELECT src, dst, round(cosine, 4) AS cosine
+FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+WHERE cosine >= 0.4
 ORDER BY src, dst
 """
 
@@ -1569,19 +1572,28 @@ FROM l GROUP BY sense_id ORDER BY sense_id
 def _side_table(fx: str, name: str) -> str:
     """Path to a generated side table (``translations`` / ``pageviews``),
     created on demand for fixture dirs written before these tables existed.
-    Deterministic from the dir's ``entities.parquet`` + the fixture seed
-    (42 everywhere), so concurrent same-user writes are byte-identical and
-    the atomic replace can interleave safely."""
+    Deterministic from the dir's ``entities.parquet`` + the dir's recorded
+    fixture seed (``fixture_manifest.json``; pre-manifest dirs were all
+    written with seed 42), so concurrent same-user writes are
+    byte-identical and the atomic replace can interleave safely."""
     p = os.path.join(fx, f"{name}.parquet")
     if not os.path.exists(p):
+        import json
+
         import pyarrow.parquet as pq
 
         from ..gen import gen_pageviews, gen_translations
 
+        seed = 42
+        try:
+            with open(os.path.join(fx, "fixture_manifest.json")) as f:
+                seed = int(json.load(f)["seed"])
+        except (OSError, ValueError, KeyError):
+            pass
         ents = pq.read_table(os.path.join(fx, "entities.parquet"))
         gen = gen_translations if name == "translations" else gen_pageviews
         tmp = f"{p}.tmp{os.getpid()}"
-        pq.write_table(gen(ents, 42), tmp, row_group_size=32768)
+        pq.write_table(gen(ents, seed), tmp, row_group_size=32768)
         os.replace(tmp, p)
     return p
 

@@ -60,7 +60,21 @@ def sig_matrix(sig: pa.Array | pa.ChunkedArray, n: int) -> np.ndarray:
         data = np.frombuffer(sig.buffers()[2], dtype=np.uint8)
         return data[int(o[0]) : int(o[0]) + n * w].view(np.uint64).reshape(n, -1)
     except (ValueError, TypeError):
-        return np.frombuffer(b"".join(sig.to_pylist()), dtype=np.uint64).reshape(n, -1)
+        # slow path: non-contiguous buffers (slices, offsets). Signatures
+        # are uniform-width by construction (num_hashes × 8 bytes); a
+        # genuinely ragged column is a caller bug — fail loudly instead of
+        # letting reshape(n, -1) silently mis-align rows into wrong bands.
+        rows = [r or b"" for r in sig.to_pylist()]
+        widths = {len(r) for r in rows}
+        if len(widths) > 1 or (rows and len(rows[0]) % 8):
+            raise ValueError(
+                "sig_matrix: signature widths must be one uniform multiple "
+                f"of 8 bytes, got byte widths {sorted(widths)}"
+            ) from None
+        w = len(rows[0]) if rows else 0
+        if w == 0:
+            return np.empty((n, 0), dtype=np.uint64)
+        return np.frombuffer(b"".join(rows), dtype=np.uint64).reshape(n, w // 8)
 
 
 def band_key_array(bh: np.ndarray) -> pa.Array:

@@ -60,6 +60,26 @@ def _str_to_ids(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.cast(col, pa.int64())
 
 
+def content_fp64(texts: list) -> np.ndarray:
+    """64-bit content fingerprint per text: little-endian signed int64 from
+    the first 8 md5 bytes. THE shared basis of every exact-verify dedup mode
+    (minhash/simhash) — the oracle-equivalence proofs require all sites to
+    hash identically, so this is the only place the basis is defined.
+    Per-text Python loop (no vectorized md5 exists); runs once per DOC."""
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5((t or "").encode("utf-8")).digest()[:8],
+                "little",
+                signed=True,
+            )
+            for t in texts
+        ),
+        dtype=np.int64,
+        count=len(texts),
+    )
+
+
 def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
     """Keep the min-id row per distinct text. Output: (id_col, text_col).
 
@@ -128,20 +148,9 @@ class _DocSignatures:
             n * nb,
             [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(rep.tobytes())],
         )
-        # 64-bit content fingerprint (same md5 basis as exact_dedup): rides
-        # each band row so exact-verify mode never ships text. Per-doc md5
-        # stays a Python loop (no vectorized md5 exists) but runs once per
-        # DOC, not once per band row.
-        content = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.md5(t.encode("utf-8")).digest()[:8], "little", signed=True
-                )
-                for t in texts
-            ),
-            dtype=np.int64,
-            count=n,
-        )
+        # 64-bit content fingerprint (shared content_fp64 basis): rides
+        # each band row so exact-verify mode never ships text.
+        content = content_fp64(texts)
         return pa.table(
             {
                 "doc": doc,
@@ -315,20 +324,7 @@ def simhash(
             out[nz] = (val_bits << _SH_SHIFTS).sum(axis=1, dtype=np.uint64)
         cols = {id_col: batch[id_col], "simhash": hex64_array(out)}
         if with_content:
-            cols["content"] = pa.array(
-                np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.md5((t or "").encode("utf-8")).digest()[:8],
-                            "little",
-                            signed=True,
-                        )
-                        for t in texts
-                    ),
-                    dtype=np.int64,
-                    count=n,
-                )
-            )
+            cols["content"] = pa.array(content_fp64(texts))
         return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -445,6 +441,12 @@ def simhash_dedup(
     the full vectorized bit-vote + grouped-dedup machinery. (Plain
     simhash-equality grouping would NOT be SQL-checkable: distinct texts
     with the same token multiset — reordered words — share a simhash.)"""
+    if exact_verify and hamming_k:
+        raise ValueError(
+            "simhash_dedup: exact_verify groups exact-text duplicates only "
+            f"and would silently ignore hamming_k={hamming_k}; use one mode "
+            "or the other"
+        )
     if exact_verify:
         sh = simhash(ds, id_col, text_col, with_content=True)
 
@@ -583,6 +585,8 @@ def embedding_pairs_exact(
     rows = ds.map_batches(explode, batch_format="pyarrow")
 
     def cross_block(df: pd.DataFrame) -> pd.DataFrame:
+        # per-group numpy arrays, concatenated once at the end — keeps the
+        # O(n²/B) kernel fully vectorized even when many pairs qualify
         src, dst, cos = [], [], []
         if len(df):
             df = df.sort_values(["gkey", "blk", "doc"])
@@ -620,22 +624,26 @@ def embedding_pairs_exact(
                     iu, ju = np.nonzero(C >= cosine_threshold)
                     ai = (lo + np.flatnonzero(side))[iu]
                     bj_idx = (lo + np.flatnonzero(~side))[ju]
-                    ia = np.minimum(ids[ai], ids[bj_idx])
-                    ja = np.maximum(ids[ai], ids[bj_idx])
                     # ia/ja already id values here; emit directly
-                    src.extend(int(x) for x in ia)
-                    dst.extend(int(x) for x in ja)
-                    cos.extend(float(c) for c in C[iu, ju])
+                    src.append(np.minimum(ids[ai], ids[bj_idx]))
+                    dst.append(np.maximum(ids[ai], ids[bj_idx]))
+                    cos.append(C[iu, ju].astype(np.float64))
                     continue
                 a, bidx = ids[ia], ids[ja]
-                src.extend(int(x) for x in np.minimum(a, bidx))
-                dst.extend(int(x) for x in np.maximum(a, bidx))
-                cos.extend(float(c) for c in cv)
+                src.append(np.minimum(a, bidx))
+                dst.append(np.maximum(a, bidx))
+                cos.append(cv.astype(np.float64))
         return pd.DataFrame(
             {
-                "src": pd.Series(src, dtype="int64"),
-                "dst": pd.Series(dst, dtype="int64"),
-                "cosine": pd.Series(cos, dtype="float64"),
+                "src": pd.Series(
+                    np.concatenate(src) if src else [], dtype="int64"
+                ),
+                "dst": pd.Series(
+                    np.concatenate(dst) if dst else [], dtype="int64"
+                ),
+                "cosine": pd.Series(
+                    np.concatenate(cos) if cos else [], dtype="float64"
+                ),
             }
         )
 
