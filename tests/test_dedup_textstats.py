@@ -197,6 +197,25 @@ def test_fingerprint_properties(ray_session):
     assert a["fp"].nunique() == len(a)
 
 
+def test_content_fp64_shared_basis():
+    """content_fp64 is THE single fingerprint basis of the exact-verify
+    dedup modes: little-endian signed int64 of the first 8 md5 bytes,
+    None treated as empty text."""
+    import hashlib
+
+    from semanticizer_ray.stages.dedup import content_fp64
+
+    texts = ["", "hello", "hello", None, "héllo"]
+    got = content_fp64(texts)
+    assert got.dtype == np.int64 and len(got) == len(texts)
+    for t, v in zip(texts, got):
+        expect = int.from_bytes(
+            hashlib.md5((t or "").encode("utf-8")).digest()[:8], "little", signed=True
+        )
+        assert int(v) == expect
+    assert got[1] == got[2] and got[0] == got[3] and got[1] != got[4]
+
+
 def test_fingerprint_matches_scalar_reference(ray_session):
     """Byte-exact parity vs an independent per-byte scalar reference
     (UTF-8 byte-level FNV polynomial + murmur avalanche), including empty

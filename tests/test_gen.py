@@ -122,3 +122,25 @@ def test_translations_and_pageviews_side_tables():
     # Zipfian: head entity out-views the tail entity
     v = views.reshape(50, 14).sum(axis=1)
     assert v[0] > v[-1]
+
+
+def test_side_table_regeneration_uses_recorded_seed(tmp_path):
+    """write_fixture_set records its seed in fixture_manifest.json;
+    catalog._side_table regenerates a deleted side table with THAT seed,
+    not the historical default 42."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from semanticizer_ray.gen import gen_translations, write_fixture_set
+    from semanticizer_ray.pipelines.catalog import _side_table
+
+    out = str(tmp_path / "fx7")
+    write_fixture_set(out, n_convs=60, seed=7)
+    with open(os.path.join(out, "fixture_manifest.json")) as f:
+        assert json.load(f)["seed"] == 7
+    expect = gen_translations(pq.read_table(os.path.join(out, "entities.parquet")), 7)
+    os.remove(os.path.join(out, "translations.parquet"))
+    regen = pq.read_table(_side_table(out, "translations"))
+    assert regen.equals(expect)

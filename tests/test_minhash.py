@@ -118,6 +118,14 @@ def test_band_key_array_and_hex_codecs():
     col2 = pa.array([row.tobytes() for row in mat])
     assert np.array_equal(sig_matrix(col2, 10), mat)
     assert np.array_equal(sig_matrix(col2.slice(3, 4), 4), mat[3:7])
+    # ragged widths must fail loudly (never silently mis-band rows)
+    import pytest as _pytest
+
+    ragged = pa.array([b"\0" * 8, b"\0" * 16, b"\0" * 24])
+    with _pytest.raises(ValueError, match="uniform"):
+        sig_matrix(ragged, 3)
+    # uniform zero-width signatures → well-defined empty matrix
+    assert sig_matrix(pa.array([b"", b"", b""]), 3).shape == (3, 0)
 
 
 def test_doc_signatures_batch_vs_scalar():
