@@ -39,7 +39,12 @@ def oracle_sql() -> dict[str, str]:
     # er_quality's oracle re-clusters the engine's scored match edges from a
     # Parquet artifact; make sure it exists even if the driver evaluates the
     # oracle before the Ray query (idempotent, sf0.001-scale)
-    from semanticizer_ray.pipelines.catalog import ensure_er_quality_artifacts
+    from semanticizer_ray.pipelines.catalog import (
+        ensure_er_quality_artifacts,
+        ensure_knn_recall_artifacts,
+    )
 
     ensure_er_quality_artifacts()
+    # same for the ANN-quality gate's LSH-picks artifact
+    ensure_knn_recall_artifacts()
     return {name: sql for name, (_fn, sql) in CATALOG.items() if sql is not None}

@@ -1436,8 +1436,140 @@ FROM av2 ORDER BY doc_id
 """
 
 
+# ---- ANN quality gate (the er_quality pattern for similarity search) ----
+_KNN_EMB = "/root/testdata/sf0.001/embeddings.parquet"  # fixed, sf-independent
+_KNN_PICKS = f"{_FIXTURE_BASE}/knn_lsh_picks.parquet"
+_KNN_MANIFEST = f"{_FIXTURE_BASE}/knn_lsh_picks.manifest.json"
+_KNN_K = 10
+_KNN_PLANES = 4  # 16 buckets over the 500-vector fixture (+H1 probes): the
+# representative pruning point; 8 planes ≈ 2 vectors/bucket at this scale
+
+
+def _knn_fingerprint() -> str:
+    return f"{_pkg_fingerprint()}:k{_KNN_K}:p{_KNN_PLANES}"
+
+
+def _knn_queries() -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    q = (
+        pq.read_table(_KNN_EMB, filters=[("vec_id", "in", [0, 1, 2])])
+        .to_pandas()
+        .sort_values("vec_id")["embedding"]
+    )
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in q])
+
+
+def ensure_knn_recall_artifacts() -> None:
+    """Idempotent: run the hyperplane-LSH KNN over the fixed embeddings
+    table and land its picks as a fingerprinted Parquet artifact the
+    ``knn_lsh_recall`` oracle reads. Deterministic (fixed seed + fixed
+    input), so concurrent same-user writes are byte-identical and the
+    atomic replace can interleave safely."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_lsh
+
+    try:
+        with open(_KNN_MANIFEST) as f:
+            if (
+                _json.load(f).get("fingerprint") == _knn_fingerprint()
+                and os.path.exists(_KNN_PICKS)
+            ):
+                return
+    except (OSError, ValueError):
+        pass
+    ds = rd.read_parquet(_KNN_EMB, columns=["vec_id", "embedding"])
+    picks = (
+        knn_lsh(ds, _knn_queries(), k=_KNN_K, num_planes=_KNN_PLANES)
+        .to_pandas()[["query_idx", "vec_id"]]
+        .sort_values(["query_idx", "vec_id"])
+        .reset_index(drop=True)
+    )
+    tmp = f"{_KNN_PICKS}.{os.getpid()}.tmp"
+    pq.write_table(pa.Table.from_pandas(picks, preserve_index=False), tmp)
+    os.replace(tmp, _KNN_PICKS)
+    tmp = f"{_KNN_MANIFEST}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"fingerprint": _knn_fingerprint()}, f)
+    os.replace(tmp, _KNN_MANIFEST)
+
+
+def knn_lsh_recall(sf_dir: str) -> pd.DataFrame:
+    """ANN quality gate: recall of the hyperplane-LSH KNN vs exact
+    brute-force top-k on a FIXED embeddings table (er_quality pattern).
+    The engine persists its LSH picks as a fingerprinted artifact and
+    computes recall against its own distributed ``knn_brute``; the DuckDB
+    oracle recomputes the exact top-k INDEPENDENTLY (all-pairs
+    ``list_cosine_similarity`` + ``row_number``, ties by vec_id) and
+    re-derives recall from the same picks — hash-gating both the
+    approximate path's output provenance and the recall arithmetic. The
+    two brute top-k sets provably agree (same cosine values, same id
+    tie-break; set equality asserted in tests/test_dedup_textstats.py)."""
+    from ..stages.similarity import knn_brute
+
+    ensure_knn_recall_artifacts()
+    import pyarrow.parquet as pq
+
+    picks = pq.read_table(_KNN_PICKS).to_pandas()
+    ds = rd.read_parquet(_KNN_EMB, columns=["vec_id", "embedding"])
+    brute = knn_brute(ds, _knn_queries(), k=_KNN_K).to_pandas()
+    bset = set(zip(brute["query_idx"], brute["vec_id"]))
+    pset = set(zip(picks["query_idx"], picks["vec_id"]))
+    hits = len(bset & pset)
+    return pd.DataFrame(
+        {
+            "n_queries": pd.Series([brute["query_idx"].nunique()], dtype="int64"),
+            "k": pd.Series([_KNN_K], dtype="int64"),
+            "n_picks": pd.Series([len(pset)], dtype="int64"),
+            "hits": pd.Series([hits], dtype="int64"),
+            "recall": pd.Series([round(hits / len(bset), 6)], dtype="float64"),
+        }
+    )
+
+
+KNN_LSH_RECALL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_idx, embedding
+  FROM read_parquet('{_KNN_EMB}') WHERE vec_id IN (0, 1, 2)
+),
+scored AS (
+  SELECT q.query_idx, e.vec_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           AS cosine
+  FROM q CROSS JOIN read_parquet('{_KNN_EMB}') e
+),
+brute AS (
+  SELECT query_idx, vec_id FROM (
+    SELECT query_idx, vec_id,
+           row_number() OVER (
+             PARTITION BY query_idx ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= {_KNN_K}
+),
+picks AS (SELECT query_idx, vec_id FROM read_parquet('{_KNN_PICKS}')),
+m AS (
+  SELECT (SELECT count(DISTINCT query_idx) FROM brute) AS n_queries,
+         (SELECT count(*) FROM brute) AS n_brute,
+         (SELECT count(*) FROM picks) AS n_picks,
+         (SELECT count(*) FROM picks p
+            JOIN brute b ON p.query_idx = b.query_idx
+                        AND p.vec_id = b.vec_id) AS hits
+)
+SELECT CAST(n_queries AS BIGINT) AS n_queries,
+       CAST({_KNN_K} AS BIGINT) AS k,
+       CAST(n_picks AS BIGINT) AS n_picks,
+       CAST(hits AS BIGINT) AS hits,
+       round(CAST(hits AS DOUBLE) / n_brute, 6) AS recall
+FROM m
+"""
+
+
 def knn_lsh_cosine(sf_dir: str) -> pd.DataFrame:
-    """Approximate KNN (rows-only; recall vs knn_brute asserted in tests)."""
+    """Approximate KNN (rows-only: random-hyperplane pruning is not
+    SQL-expressible; quality is hash-gated separately by
+    ``knn_lsh_recall``)."""
     import pyarrow.parquet as pq
 
     from ..stages.similarity import knn_lsh
@@ -1766,6 +1898,7 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "doc_langid": (doc_langid, DOC_LANGID_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "knn_lsh_cosine": (knn_lsh_cosine, None),
+    "knn_lsh_recall": (knn_lsh_recall, KNN_LSH_RECALL_SQL),
     "embedding_neardup_pairs": (embedding_neardup_pairs, None),
     # exact all-pairs cosine join — full SQL oracle (list_cosine_similarity)
     "embedding_dup_pairs_exact": (embedding_dup_pairs_exact, EMB_PAIRS_EXACT_SQL),

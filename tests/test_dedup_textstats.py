@@ -313,6 +313,45 @@ def test_embedding_pairs_exact_matches_bruteforce(ray_session):
             assert abs(got[k] - want[k]) < 1e-9
 
 
+def test_knn_brute_set_matches_duckdb_and_lsh_recall_gate(ray_session):
+    """The distributed knn_brute top-k SET equals an independent DuckDB
+    all-pairs derivation (same cosine, same vec_id tie-break) — the premise
+    that makes the knn_lsh_recall engine/oracle recalls identical — and the
+    gate's own query/oracle pair hash-matches."""
+    import duckdb
+
+    from semanticizer_ray.pipelines.catalog import (
+        KNN_LSH_RECALL_SQL,
+        _KNN_EMB,
+        _knn_queries,
+        knn_lsh_recall,
+    )
+    from semanticizer_ray.sources.parquet import read_table
+    from semanticizer_ray.stages.similarity import knn_brute
+
+    ds = read_table(_KNN_EMB, columns=["vec_id", "embedding"])
+    brute = knn_brute(ds, _knn_queries(), k=10).to_pandas()
+    sql_brute = duckdb.sql(f"""
+        SELECT query_idx, vec_id FROM (
+          SELECT q.vec_id AS query_idx, e.vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_cosine_similarity(q.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]) DESC,
+                   e.vec_id) AS rn
+          FROM (SELECT * FROM read_parquet('{_KNN_EMB}')
+                WHERE vec_id IN (0,1,2)) q
+          CROSS JOIN read_parquet('{_KNN_EMB}') e
+        ) WHERE rn <= 10
+    """).df()
+    assert set(zip(brute["query_idx"], brute["vec_id"])) == set(
+        zip(sql_brute["query_idx"], sql_brute["vec_id"])
+    )
+    got = knn_lsh_recall("unused")
+    want = duckdb.sql(KNN_LSH_RECALL_SQL).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["recall"].iloc[0] >= 0.6  # representative operating point
+
+
 def test_embedding_lsh_subset_of_exact_with_high_threshold_recall(ray_session):
     """LSH near-dup pairs are a SUBSET of the exact join; at a high
     threshold with planted near-identical vectors (tiny perturbations keep
