@@ -40,11 +40,13 @@ def oracle_sql() -> dict[str, str]:
     # Parquet artifact; make sure it exists even if the driver evaluates the
     # oracle before the Ray query (idempotent, sf0.001-scale)
     from semanticizer_ray.pipelines.catalog import (
+        ensure_embedding_neardup_artifacts,
         ensure_er_quality_artifacts,
         ensure_knn_recall_artifacts,
     )
 
     ensure_er_quality_artifacts()
-    # same for the ANN-quality gate's LSH-picks artifact
+    # same for the ANN-quality and near-dup-recall gates' artifacts
     ensure_knn_recall_artifacts()
+    ensure_embedding_neardup_artifacts()
     return {name: sql for name, (_fn, sql) in CATALOG.items() if sql is not None}

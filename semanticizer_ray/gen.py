@@ -412,3 +412,29 @@ def write_fixture_set(out_dir: str, n_convs: int, seed: int = 42) -> dict[str, s
         json.dump({"seed": seed, "n_convs": n_convs}, f)
     os.replace(mtmp, os.path.join(out_dir, "fixture_manifest.json"))
     return paths
+
+
+def gen_embeddings_with_neardups(
+    n_base: int = 200, n_dups: int = 12, dim: int = 24, seed: int = 42
+) -> pa.Table:
+    """Embedding table with PLANTED near-duplicates: ``n_base`` well-spread
+    base vectors (scaled standard normal — pairwise cosine stays far below
+    any near-dup threshold w.h.p.) plus ``n_dups`` tiny perturbations of the
+    first ``n_dups`` base rows (cosine ≈ 1 with their source). The synthetic
+    ``embeddings.parquet`` testdata has NO true near-dups (max pairwise
+    cosine ≈ 0.48), so near-dup recall gates need this fixture.
+
+    Output: (vec_id int64, embedding list<double>); dup of base i has
+    vec_id = n_base + i."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim)) * 4.0
+    dups = base[:n_dups] + 1e-4 * rng.standard_normal((n_dups, dim))
+    vecs = np.vstack([base, dups])
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )

@@ -1590,6 +1590,118 @@ def knn_lsh_cosine(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_idx", "cosine", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
 
 
+# ---- embedding near-dup quality gate (planted-dup fixture) ----
+_EMBND_FIX = f"{_FIXTURE_BASE}/embnd_fixture.parquet"
+_EMBND_PAIRS = f"{_FIXTURE_BASE}/embnd_lsh_pairs.parquet"
+_EMBND_MANIFEST = f"{_FIXTURE_BASE}/embnd_lsh_pairs.manifest.json"
+_EMBND_TAU = 0.995
+
+
+def _embnd_fingerprint() -> str:
+    return f"{_pkg_fingerprint()}:tau{_EMBND_TAU}"
+
+
+def ensure_embedding_neardup_artifacts() -> None:
+    """Idempotent: write the planted-near-dup embedding fixture
+    (``gen_embeddings_with_neardups`` — the synthetic testdata embeddings
+    have NO true near-dups, max pairwise cosine ≈ 0.48) and land the LSH
+    near-dup pairs found on it as a fingerprinted Parquet artifact for the
+    ``embedding_neardup_recall`` oracle. Deterministic throughout, so
+    concurrent same-user atomic replaces interleave safely."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from ..gen import gen_embeddings_with_neardups
+    from ..stages.dedup import embedding_dedup
+
+    if not os.path.exists(_EMBND_FIX):
+        os.makedirs(_FIXTURE_BASE, exist_ok=True)
+        tmp = f"{_EMBND_FIX}.{os.getpid()}.tmp"
+        pq.write_table(gen_embeddings_with_neardups(), tmp)
+        os.replace(tmp, _EMBND_FIX)
+    try:
+        with open(_EMBND_MANIFEST) as f:
+            if (
+                _json.load(f).get("fingerprint") == _embnd_fingerprint()
+                and os.path.exists(_EMBND_PAIRS)
+            ):
+                return
+    except (OSError, ValueError):
+        pass
+    ds = rd.read_parquet(_EMBND_FIX)
+    pairs = (
+        embedding_dedup(ds, cosine_threshold=_EMBND_TAU)
+        .to_pandas()[["src", "dst"]]
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    tmp = f"{_EMBND_PAIRS}.{os.getpid()}.tmp"
+    pq.write_table(pa.Table.from_pandas(pairs, preserve_index=False), tmp)
+    os.replace(tmp, _EMBND_PAIRS)
+    tmp = f"{_EMBND_MANIFEST}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"fingerprint": _embnd_fingerprint()}, f)
+    os.replace(tmp, _EMBND_MANIFEST)
+
+
+def embedding_neardup_recall(sf_dir: str) -> pd.DataFrame:
+    """Near-dup quality gate for the hyperplane-LSH embedding dedup (U3
+    scale path): recall vs the EXACT all-pairs cosine ≥ τ join on a fixture
+    with planted near-identical vectors (τ=0.995; tiny perturbations keep
+    every hyperplane sign w.h.p., so LSH should recover every planted
+    pair). The engine computes recall against its own distributed
+    ``embedding_pairs_exact``; the DuckDB oracle recomputes the exact pair
+    set INDEPENDENTLY (all-pairs ``list_cosine_similarity``) and re-derives
+    recall from the same fingerprinted LSH-pairs artifact."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import embedding_pairs_exact
+
+    ensure_embedding_neardup_artifacts()
+    lsh = pq.read_table(_EMBND_PAIRS).to_pandas()
+    exact = embedding_pairs_exact(
+        rd.read_parquet(_EMBND_FIX), cosine_threshold=_EMBND_TAU
+    ).to_pandas()
+    es = set(zip(exact["src"], exact["dst"]))
+    ls = set(zip(lsh["src"], lsh["dst"]))
+    hits = len(es & ls)
+    return pd.DataFrame(
+        {
+            "exact_pairs": pd.Series([len(es)], dtype="int64"),
+            "lsh_pairs": pd.Series([len(ls)], dtype="int64"),
+            "hits": pd.Series([hits], dtype="int64"),
+            "recall": pd.Series(
+                [round(hits / len(es), 6) if es else 1.0], dtype="float64"
+            ),
+        }
+    )
+
+
+EMBND_RECALL_SQL = f"""
+WITH exact AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM read_parquet('{_EMBND_FIX}') a
+  JOIN read_parquet('{_EMBND_FIX}') b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= {_EMBND_TAU}
+),
+lsh AS (SELECT src, dst FROM read_parquet('{_EMBND_PAIRS}')),
+m AS (
+  SELECT (SELECT count(*) FROM exact) AS exact_pairs,
+         (SELECT count(*) FROM lsh) AS lsh_pairs,
+         (SELECT count(*) FROM lsh l
+            JOIN exact e ON l.src = e.src AND l.dst = e.dst) AS hits
+)
+SELECT CAST(exact_pairs AS BIGINT) AS exact_pairs,
+       CAST(lsh_pairs AS BIGINT) AS lsh_pairs,
+       CAST(hits AS BIGINT) AS hits,
+       CASE WHEN exact_pairs = 0 THEN 1.0
+            ELSE round(CAST(hits AS DOUBLE) / exact_pairs, 6) END AS recall
+FROM m
+"""
+
+
 def embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import embedding_dedup
 
@@ -1900,6 +2012,7 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "knn_lsh_cosine": (knn_lsh_cosine, None),
     "knn_lsh_recall": (knn_lsh_recall, KNN_LSH_RECALL_SQL),
     "embedding_neardup_pairs": (embedding_neardup_pairs, None),
+    "embedding_neardup_recall": (embedding_neardup_recall, EMBND_RECALL_SQL),
     # exact all-pairs cosine join — full SQL oracle (list_cosine_similarity)
     "embedding_dup_pairs_exact": (embedding_dup_pairs_exact, EMB_PAIRS_EXACT_SQL),
     "sense_degrees": (sense_degrees, SENSE_DEGREES_SQL),
