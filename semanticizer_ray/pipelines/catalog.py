@@ -1481,6 +1481,7 @@ def ensure_knn_recall_artifacts() -> None:
                 return
     except (OSError, ValueError):
         pass
+    os.makedirs(_FIXTURE_BASE, exist_ok=True)
     ds = rd.read_parquet(_KNN_EMB, columns=["vec_id", "embedding"])
     picks = (
         knn_lsh(ds, _knn_queries(), k=_KNN_K, num_planes=_KNN_PLANES)
