@@ -935,20 +935,72 @@ def _pkg_fingerprint() -> str:
     return _PKG_FP
 
 
+_FILE_FP: dict = {}
+
+
+def _file_fingerprint(path: str) -> str:
+    """Content hash of an external input file (e.g. the fixed testdata
+    embeddings): a regenerated input must invalidate artifacts derived
+    from it even though the package fingerprint is unchanged. Memoised
+    per (path, size, mtime_ns) so repeated manifest checks don't re-read."""
+    import hashlib as _hashlib
+
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    fp = _FILE_FP.get(key)
+    if fp is None:
+        h = _hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        fp = _FILE_FP[key] = h.hexdigest()[:16]
+    return fp
+
+
+def _manifest_fresh(manifest_path: str, fingerprint: str, *artifacts: str) -> bool:
+    """True iff every artifact file exists AND the manifest carries exactly
+    ``fingerprint`` (content fingerprints, never mtimes — archive extraction
+    and mtime-preserving syncs can fake those). Shared by every quality-gate
+    artifact (er_quality, knn_lsh_recall, embedding_neardup_recall)."""
+    import json as _json
+
+    if not all(os.path.exists(p) for p in artifacts):
+        return False
+    try:
+        with open(manifest_path) as f:
+            return _json.load(f).get("fingerprint") == fingerprint
+    except (OSError, ValueError):
+        return False
+
+
+def _land_parquet(path: str, df: pd.DataFrame) -> None:
+    """Atomically land a small driver-side DataFrame as a Parquet artifact
+    (pid-suffixed tmp + os.replace; producers are deterministic, so
+    concurrent same-user replaces interleave safely)."""
+    import pyarrow.parquet as pq
+
+    tmp = f"{path}.{os.getpid()}.tmp"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.replace(tmp, path)
+
+
+def _land_manifest(path: str, fingerprint: str) -> None:
+    import json as _json
+
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"fingerprint": fingerprint}, f)
+    os.replace(tmp, path)
+
+
 def _erq_fingerprint() -> str:
     return f"{_pkg_fingerprint()}:{EngineConfig().config_hash()}:n{_ERQ_NCONVS}"
 
 
 def _erq_fresh() -> bool:
-    import json as _json
-
-    if not (os.path.exists(_ERQ_EDGES) and os.path.exists(_ERQ_CLUSTERS)):
-        return False
-    try:
-        with open(_ERQ_MANIFEST) as f:
-            return _json.load(f).get("fingerprint") == _erq_fingerprint()
-    except (OSError, ValueError):
-        return False
+    return _manifest_fresh(
+        _ERQ_MANIFEST, _erq_fingerprint(), _ERQ_EDGES, _ERQ_CLUSTERS
+    )
 
 
 def _erq_fixture_dir() -> str:
@@ -967,10 +1019,6 @@ def _erq_run() -> pd.DataFrame:
     oracle re-clusters exactly the edges this code version produced and the
     query side can reuse the same run instead of recomputing. Returns the
     predicted clusters."""
-    import json as _json
-
-    import pyarrow.parquet as pq
-
     from .entity_resolution import resolve_entities
 
     fx = _erq_fixture_dir()
@@ -988,14 +1036,9 @@ def _erq_run() -> pd.DataFrame:
         .reset_index(drop=True)
     )
     clusters = res.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
-    for path, df in ((_ERQ_EDGES, match), (_ERQ_CLUSTERS, clusters)):
-        tmp = f"{path}.{os.getpid()}.tmp"
-        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
-        os.replace(tmp, path)
-    tmp = f"{_ERQ_MANIFEST}.{os.getpid()}.tmp"
-    with open(tmp, "w") as f:
-        _json.dump({"fingerprint": _erq_fingerprint()}, f)
-    os.replace(tmp, _ERQ_MANIFEST)
+    _land_parquet(_ERQ_EDGES, match)
+    _land_parquet(_ERQ_CLUSTERS, clusters)
+    _land_manifest(_ERQ_MANIFEST, _erq_fingerprint())
     return clusters
 
 
@@ -1446,7 +1489,13 @@ _KNN_PLANES = 4  # 16 buckets over the 500-vector fixture (+H1 probes): the
 
 
 def _knn_fingerprint() -> str:
-    return f"{_pkg_fingerprint()}:k{_KNN_K}:p{_KNN_PLANES}"
+    # _file_fingerprint(_KNN_EMB): the embeddings table lives OUTSIDE the
+    # package, so a regenerated testdata tree must invalidate the picks
+    # artifact even though the package fingerprint is unchanged
+    return (
+        f"{_pkg_fingerprint()}:k{_KNN_K}:p{_KNN_PLANES}"
+        f":emb{_file_fingerprint(_KNN_EMB)}"
+    )
 
 
 def _knn_queries() -> np.ndarray:
@@ -1465,37 +1514,45 @@ def ensure_knn_recall_artifacts() -> None:
     table and land its picks as a fingerprinted Parquet artifact the
     ``knn_lsh_recall`` oracle reads. Deterministic (fixed seed + fixed
     input), so concurrent same-user writes are byte-identical and the
-    atomic replace can interleave safely."""
-    import json as _json
+    atomic replace can interleave safely.
 
+    Also asserts the rank-k margin: the hash gate needs the engine's numpy
+    brute top-k and the oracle's DuckDB ``list_cosine_similarity`` top-k to
+    agree exactly, which only holds when the gap between the k-th and
+    (k+1)-th cosine exceeds float summation-order noise for every query —
+    raise loudly here (artifact build time) instead of failing
+    nondeterministically across BLAS/DuckDB versions later."""
     import pyarrow.parquet as pq
 
     from ..stages.similarity import knn_lsh
 
-    try:
-        with open(_KNN_MANIFEST) as f:
-            if (
-                _json.load(f).get("fingerprint") == _knn_fingerprint()
-                and os.path.exists(_KNN_PICKS)
-            ):
-                return
-    except (OSError, ValueError):
-        pass
+    if _manifest_fresh(_KNN_MANIFEST, _knn_fingerprint(), _KNN_PICKS):
+        return
     os.makedirs(_FIXTURE_BASE, exist_ok=True)
+    emb = pq.read_table(_KNN_EMB, columns=["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id")
+    V = np.asarray([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    Q = _knn_queries()
+    sims = (Q / np.linalg.norm(Q, axis=1, keepdims=True)) @ V.T
+    top = np.sort(sims, axis=1)[:, ::-1]
+    margins = top[:, _KNN_K - 1] - top[:, _KNN_K]
+    if float(margins.min()) < 1e-9:
+        raise ValueError(
+            f"knn_lsh_recall rank-{_KNN_K} boundary margin {margins.min():.3e} "
+            f"is within float noise for query {int(margins.argmin())}: the "
+            "engine (numpy) and oracle (DuckDB) brute top-k could disagree "
+            "platform-dependently. Change _KNN_K or the query set."
+        )
     ds = rd.read_parquet(_KNN_EMB, columns=["vec_id", "embedding"])
     picks = (
-        knn_lsh(ds, _knn_queries(), k=_KNN_K, num_planes=_KNN_PLANES)
+        knn_lsh(ds, Q, k=_KNN_K, num_planes=_KNN_PLANES)
         .to_pandas()[["query_idx", "vec_id"]]
         .sort_values(["query_idx", "vec_id"])
         .reset_index(drop=True)
     )
-    tmp = f"{_KNN_PICKS}.{os.getpid()}.tmp"
-    pq.write_table(pa.Table.from_pandas(picks, preserve_index=False), tmp)
-    os.replace(tmp, _KNN_PICKS)
-    tmp = f"{_KNN_MANIFEST}.{os.getpid()}.tmp"
-    with open(tmp, "w") as f:
-        _json.dump({"fingerprint": _knn_fingerprint()}, f)
-    os.replace(tmp, _KNN_MANIFEST)
+    _land_parquet(_KNN_PICKS, picks)
+    _land_manifest(_KNN_MANIFEST, _knn_fingerprint())
 
 
 def knn_lsh_recall(sf_dir: str) -> pd.DataFrame:
@@ -1531,8 +1588,11 @@ def knn_lsh_recall(sf_dir: str) -> pd.DataFrame:
     )
 
 
-KNN_LSH_RECALL_SQL = f"""
-WITH q AS (
+# The brute-force CTE chain, shared verbatim with the pytest premise check
+# (tests/test_dedup_textstats.py asserts the engine's numpy brute set equals
+# THIS query's result — extracting it keeps the asserted premise and the
+# shipped oracle from drifting apart)
+KNN_BRUTE_CTES = f"""q AS (
   SELECT vec_id AS query_idx, embedding
   FROM read_parquet('{_KNN_EMB}') WHERE vec_id IN (0, 1, 2)
 ),
@@ -1548,7 +1608,10 @@ brute AS (
            row_number() OVER (
              PARTITION BY query_idx ORDER BY cosine DESC, vec_id) AS rn
     FROM scored) WHERE rn <= {_KNN_K}
-),
+)"""
+
+KNN_LSH_RECALL_SQL = f"""
+WITH {KNN_BRUTE_CTES},
 picks AS (SELECT query_idx, vec_id FROM read_parquet('{_KNN_PICKS}')),
 m AS (
   SELECT (SELECT count(DISTINCT query_idx) FROM brute) AS n_queries,
@@ -1609,27 +1672,23 @@ def ensure_embedding_neardup_artifacts() -> None:
     near-dup pairs found on it as a fingerprinted Parquet artifact for the
     ``embedding_neardup_recall`` oracle. Deterministic throughout, so
     concurrent same-user atomic replaces interleave safely."""
-    import json as _json
-
     import pyarrow.parquet as pq
 
     from ..gen import gen_embeddings_with_neardups
     from ..stages.dedup import embedding_dedup
 
-    if not os.path.exists(_EMBND_FIX):
-        os.makedirs(_FIXTURE_BASE, exist_ok=True)
-        tmp = f"{_EMBND_FIX}.{os.getpid()}.tmp"
-        pq.write_table(gen_embeddings_with_neardups(), tmp)
-        os.replace(tmp, _EMBND_FIX)
-    try:
-        with open(_EMBND_MANIFEST) as f:
-            if (
-                _json.load(f).get("fingerprint") == _embnd_fingerprint()
-                and os.path.exists(_EMBND_PAIRS)
-            ):
-                return
-    except (OSError, ValueError):
-        pass
+    if _manifest_fresh(
+        _EMBND_MANIFEST, _embnd_fingerprint(), _EMBND_FIX, _EMBND_PAIRS
+    ):
+        return
+    os.makedirs(_FIXTURE_BASE, exist_ok=True)
+    # regenerate the fixture whenever the manifest is stale (not just when
+    # the file is missing): the generator's parameters live in package code
+    # — covered by _pkg_fingerprint() — and a cached fixture from an older
+    # generator must not survive a bare os.path.exists check
+    tmp = f"{_EMBND_FIX}.{os.getpid()}.tmp"
+    pq.write_table(gen_embeddings_with_neardups(), tmp)
+    os.replace(tmp, _EMBND_FIX)
     ds = rd.read_parquet(_EMBND_FIX)
     pairs = (
         embedding_dedup(ds, cosine_threshold=_EMBND_TAU)
@@ -1637,13 +1696,8 @@ def ensure_embedding_neardup_artifacts() -> None:
         .sort_values(["src", "dst"])
         .reset_index(drop=True)
     )
-    tmp = f"{_EMBND_PAIRS}.{os.getpid()}.tmp"
-    pq.write_table(pa.Table.from_pandas(pairs, preserve_index=False), tmp)
-    os.replace(tmp, _EMBND_PAIRS)
-    tmp = f"{_EMBND_MANIFEST}.{os.getpid()}.tmp"
-    with open(tmp, "w") as f:
-        _json.dump({"fingerprint": _embnd_fingerprint()}, f)
-    os.replace(tmp, _EMBND_MANIFEST)
+    _land_parquet(_EMBND_PAIRS, pairs)
+    _land_manifest(_EMBND_MANIFEST, _embnd_fingerprint())
 
 
 def embedding_neardup_recall(sf_dir: str) -> pd.DataFrame:

@@ -321,6 +321,7 @@ def test_knn_brute_set_matches_duckdb_and_lsh_recall_gate(ray_session):
     import duckdb
 
     from semanticizer_ray.pipelines.catalog import (
+        KNN_BRUTE_CTES,
         KNN_LSH_RECALL_SQL,
         _KNN_EMB,
         _knn_queries,
@@ -331,18 +332,12 @@ def test_knn_brute_set_matches_duckdb_and_lsh_recall_gate(ray_session):
 
     ds = read_table(_KNN_EMB, columns=["vec_id", "embedding"])
     brute = knn_brute(ds, _knn_queries(), k=10).to_pandas()
-    sql_brute = duckdb.sql(f"""
-        SELECT query_idx, vec_id FROM (
-          SELECT q.vec_id AS query_idx, e.vec_id,
-                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                   list_cosine_similarity(q.embedding::DOUBLE[],
-                                          e.embedding::DOUBLE[]) DESC,
-                   e.vec_id) AS rn
-          FROM (SELECT * FROM read_parquet('{_KNN_EMB}')
-                WHERE vec_id IN (0,1,2)) q
-          CROSS JOIN read_parquet('{_KNN_EMB}') e
-        ) WHERE rn <= 10
-    """).df()
+    # the SAME CTE chain the shipped oracle uses — so the premise this test
+    # pins (engine brute set == oracle brute set) cannot drift from the
+    # query the driver actually runs
+    sql_brute = duckdb.sql(
+        f"WITH {KNN_BRUTE_CTES} SELECT query_idx, vec_id FROM brute"
+    ).df()
     assert set(zip(brute["query_idx"], brute["vec_id"])) == set(
         zip(sql_brute["query_idx"], sql_brute["vec_id"])
     )
@@ -383,3 +378,56 @@ def test_embedding_lsh_subset_of_exact_with_high_threshold_recall(ray_session):
     # recall of the LSH path on the planted near-identical pairs
     hits = sum((min(a, b), max(a, b)) in lsh_set for a, b in planted)
     assert hits == len(planted)
+
+
+def test_embedding_neardup_recall_gate_and_fixture_staleness(ray_session):
+    """The embedding_neardup_recall gate's engine result hash-matches its
+    DuckDB oracle, recall is 1.0 on the planted fixture, and — the staleness
+    contract — a stale manifest forces the planted FIXTURE itself to be
+    regenerated, not just the pairs artifact (a cached fixture from an older
+    generator must not survive a bare os.path.exists check)."""
+    import json
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from semanticizer_ray.pipelines import catalog as c
+
+    got = c.embedding_neardup_recall("unused")
+    want = duckdb.sql(c.EMBND_RECALL_SQL).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["exact_pairs"].iloc[0] > 0
+    assert got["recall"].iloc[0] == 1.0
+
+    # staleness: truncate the fixture and plant a stale fingerprint;
+    # ensure() must rebuild the fixture to full size and refresh the manifest
+    full = pq.read_table(c._EMBND_FIX)
+    pq.write_table(full.slice(0, 5), c._EMBND_FIX)
+    with open(c._EMBND_MANIFEST, "w") as f:
+        json.dump({"fingerprint": "stale"}, f)
+    c.ensure_embedding_neardup_artifacts()
+    assert pq.read_table(c._EMBND_FIX).num_rows == full.num_rows
+    with open(c._EMBND_MANIFEST) as f:
+        assert json.load(f)["fingerprint"] == c._embnd_fingerprint()
+
+
+def test_file_fingerprint_tracks_content():
+    """_file_fingerprint (the external-input component of the knn_lsh_recall
+    fingerprint) changes when the file's content changes and is stable
+    across re-reads of identical content."""
+    import os
+    import tempfile
+
+    from semanticizer_ray.pipelines.catalog import _file_fingerprint
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.bin")
+        with open(p, "wb") as f:
+            f.write(b"alpha")
+        fp1 = _file_fingerprint(p)
+        assert fp1 == _file_fingerprint(p)
+        os.utime(p, ns=(1, 1))  # defeat the (size, mtime) memo key
+        with open(p, "wb") as f:
+            f.write(b"bravo")
+        os.utime(p, ns=(2, 2))
+        assert _file_fingerprint(p) != fp1
