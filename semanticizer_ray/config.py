@@ -76,6 +76,15 @@ class BlockingConfig:
     # than this; overflow is counted and logged, never silent
     max_pairs_per_block: int = 4096
 
+    def __post_init__(self) -> None:
+        if self.num_hashes < self.num_bands:
+            # rows-per-band would floor to 0 → every band hash identical →
+            # one bucket per band (silent quadratic pair blowup downstream)
+            raise ValueError(
+                f"num_hashes ({self.num_hashes}) must be >= num_bands "
+                f"({self.num_bands})"
+            )
+
 
 @dataclass(frozen=True)
 class ScoringConfig:

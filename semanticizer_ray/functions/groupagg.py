@@ -44,6 +44,7 @@ empty input.
 from __future__ import annotations
 
 import os
+import sys
 import time
 from typing import Callable
 
@@ -65,6 +66,12 @@ def _tlog(label: str, t0: float) -> None:
 # boundary-remainder rows at or below this count apply on the driver
 # (one tiny pull; callers bound group size — salting / caps, SURVEY.md §4)
 REMAINDER_DRIVER_GATE = 200_000
+
+# remainder rows beyond CENSUS_FACTOR × the driver gate trigger a stderr
+# key census: output stays exact, but a remainder that large means an
+# unbounded straddling group is serializing through one task — a caller
+# bug (missing salting / cap) that must not stay silent
+REMAINDER_CENSUS_FACTOR = 10
 
 _REM = "__rem"  # block-edge marker column (internal, stripped before output)
 
@@ -106,8 +113,22 @@ def _apply_remainder(
     local fn call — saves the ~5 s repartition+sort+map fixed cost PER
     grouped op), in one distributed task above it. Returns None when the
     remainder produced no rows. An UNBOUNDED straddling group serializes
-    here; that is the caller's bug (salting / caps bound group size)."""
-    if rem_src.count() <= REMAINDER_DRIVER_GATE:
+    here; that is the caller's bug (salting / caps bound group size) — and
+    a remainder beyond REMAINDER_CENSUS_FACTOR × the gate prints a key
+    census to stderr naming the offenders instead of serializing silently."""
+    cnt = rem_src.count()
+    if cnt > REMAINDER_CENSUS_FACTOR * REMAINDER_DRIVER_GATE:
+        kdf = rem_src.select_columns(keys).to_pandas()
+        top = kdf.value_counts(subset=keys).head(5)
+        print(
+            f"[groupagg] WARNING: remainder holds {cnt} rows "
+            f"(> {REMAINDER_CENSUS_FACTOR}x the {REMAINDER_DRIVER_GATE}-row "
+            f"driver gate) and will serialize through one task. Largest "
+            f"straddling keys: {top.to_dict()}. Output stays exact; bound "
+            "the group size upstream (salt the key / cap the block).",
+            file=sys.stderr,
+        )
+    if cnt <= REMAINDER_DRIVER_GATE:
         pdf = rem_src.to_pandas()
         out = fn(pdf.sort_values(keys, kind="stable")) if len(pdf) else fn(pdf)
         if len(out) == 0:

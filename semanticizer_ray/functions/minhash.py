@@ -180,6 +180,13 @@ def band_hashes(sig: np.ndarray, num_bands: int) -> np.ndarray:
     Two texts share a band hash iff their signatures agree on every row in
     that band → LSH candidate pair.
     """
+    if len(sig) < num_bands:
+        # rows-per-band would floor to 0 → every band hash 0 for every
+        # text → one bucket per band downstream (silent quadratic pair
+        # blowup). A config with num_hashes < num_bands is a loud error.
+        raise ValueError(
+            f"num_hashes ({len(sig)}) must be >= num_bands ({num_bands})"
+        )
     rows = len(sig) // num_bands
     bands = sig[: rows * num_bands].reshape(num_bands, rows)
     mix = np.uint64(0xFF51AFD7ED558CCD)
@@ -197,6 +204,12 @@ def batch_band_hashes(sig_mat: np.ndarray, num_bands: int) -> np.ndarray:
     batched form the explode stages use so no per-row Python runs in the
     blocking hot path."""
     n, h = sig_mat.shape
+    if h < num_bands and n > 0:
+        # same guard as band_hashes: 0 rows per band hashes every row to 0
+        # (an (0, 0) matrix from an empty batch passes through untouched)
+        raise ValueError(
+            f"num_hashes ({h}) must be >= num_bands ({num_bands})"
+        )
     rows = h // num_bands
     bands = sig_mat[:, : rows * num_bands].reshape(n, num_bands, rows)
     mix = np.uint64(0xFF51AFD7ED558CCD)

@@ -1782,7 +1782,26 @@ def embedding_dup_pairs_exact(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import embedding_pairs_exact
 
     ds = read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    out = embedding_pairs_exact(ds, cosine_threshold=0.4, num_blocks=8).to_pandas()
+    # threshold-margin guard (same failure mode ensure_knn_recall_artifacts
+    # asserts against): the engine gates on numpy's unrounded cosine, the
+    # oracle on DuckDB's list_cosine_similarity — a pair within float
+    # summation-order noise of 0.4 could be included on one side only.
+    # Run the exact join at (0.4 - margin) and REFUSE if any pair's cosine
+    # sits inside the ±margin band, so a BLAS/platform change can never
+    # flip set membership silently; then apply the real gate.
+    margin = 1e-6
+    out = embedding_pairs_exact(
+        ds, cosine_threshold=0.4 - margin, num_blocks=8
+    ).to_pandas()
+    near = out[(out["cosine"] - 0.4).abs() < margin]
+    if len(near):
+        raise ValueError(
+            "embedding_dup_pairs_exact: pair cosine within 1e-6 of the 0.4 "
+            f"gate (ids {near[['src', 'dst']].values.tolist()[:3]}); the "
+            "testdata no longer sits in a threshold gap — pick a new "
+            "threshold for this fixture"
+        )
+    out = out[out["cosine"] >= 0.4].reset_index(drop=True)
     if out.empty:
         return pd.DataFrame(
             {

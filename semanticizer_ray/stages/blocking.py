@@ -39,6 +39,20 @@ _EMPTY_KEYS = pa.table(
 )
 
 
+def offsets32(count: int, width: int) -> np.ndarray:
+    """int32 Arrow offsets for ``count`` fixed-``width`` values, or a loud
+    error: count*width beyond int32 would wrap silently inside
+    ``from_buffers`` and build a corrupt array with negative offsets. A
+    batch that large is a batching bug — split it, don't widen the type."""
+    total = count * width
+    if total > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"fixed-width payload of {total} bytes ({count} x {width}) "
+            "overflows int32 utf8/binary offsets; reduce the batch size"
+        )
+    return np.arange(count + 1, dtype=np.int32) * width
+
+
 def sig_matrix(sig: pa.Array | pa.ChunkedArray, n: int) -> np.ndarray:
     """Uniform-width binary signature column → zero-copy uint64[n, H] view.
 
@@ -49,6 +63,14 @@ def sig_matrix(sig: pa.Array | pa.ChunkedArray, n: int) -> np.ndarray:
         sig = sig.combine_chunks()
     if n == 0:
         return np.empty((0, 0), dtype=np.uint64)
+    if sig.null_count:
+        # a null signature would read as zero-width and (all-null) slip
+        # through as an (n, 0) matrix → identical all-zero band keys for
+        # every row downstream; same caller bug as a ragged column
+        raise ValueError(
+            f"sig_matrix: signature column has {sig.null_count} nulls; "
+            "signatures are non-nullable by construction"
+        )
     try:
         off_dt = np.int64 if pa.types.is_large_binary(sig.type) else np.int32
         offs = np.frombuffer(sig.buffers()[1], dtype=off_dt)
@@ -73,7 +95,11 @@ def sig_matrix(sig: pa.Array | pa.ChunkedArray, n: int) -> np.ndarray:
             ) from None
         w = len(rows[0]) if rows else 0
         if w == 0:
-            return np.empty((n, 0), dtype=np.uint64)
+            # n > 0 here (n == 0 returned above): zero-width signatures are
+            # the all-null / empty-sig caller bug — fail like the ragged case
+            raise ValueError(
+                "sig_matrix: zero-width signatures for a non-empty batch"
+            ) from None
         return np.frombuffer(b"".join(rows), dtype=np.uint64).reshape(n, w // 8)
 
 
@@ -100,7 +126,7 @@ def band_key_array(bh: np.ndarray) -> pa.Array:
     hexpart = out[..., 2 + pad :]
     hexpart[..., 0::2] = _HEXD[be >> 4]
     hexpart[..., 1::2] = _HEXD[be & 0x0F]
-    offsets = np.arange(n * nb + 1, dtype=np.int32) * keylen
+    offsets = offsets32(n * nb, keylen)
     return pa.Array.from_buffers(
         pa.utf8(), n * nb, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(out.tobytes())]
     )
@@ -115,7 +141,7 @@ def hex64_array(vals: np.ndarray) -> pa.Array:
     chars = np.empty((n, 16), dtype=np.uint8)
     chars[:, 0::2] = _HEXD[be >> 4]
     chars[:, 1::2] = _HEXD[be & 0x0F]
-    offsets = np.arange(n + 1, dtype=np.int32) * 16
+    offsets = offsets32(n, 16)
     return pa.Array.from_buffers(
         pa.utf8(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(chars.tobytes())]
     )

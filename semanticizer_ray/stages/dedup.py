@@ -35,7 +35,7 @@ from ..functions.minhash import (
     minhash_from_shingle_groups,
     shingle_hashes_multi,
 )
-from .blocking import _HEXD, band_key_array, hex64_array, parse_hex64
+from .blocking import _HEXD, band_key_array, hex64_array, offsets32, parse_hex64
 
 # Int doc ids ride the string clustering machinery (T9) zero-padded so
 # lexicographic min == numeric min. 20 digits covers the full non-negative
@@ -142,7 +142,7 @@ class _DocSignatures:
         # arithmetic offsets, no per-row tobytes
         w = sig_mat.shape[1] * 8
         rep = np.repeat(sig_mat, nb, axis=0)
-        offsets = np.arange(n * nb + 1, dtype=np.int32) * w
+        offsets = offsets32(n * nb, w)
         sig_col = pa.Array.from_buffers(
             pa.binary(),
             n * nb,
@@ -216,15 +216,19 @@ def minhash_dedup(
                         continue
                     order = np.argsort(content[lo:hi], kind="stable")
                     cs = content[lo:hi][order]
-                    si = ids[lo:hi][order]  # doc-asc within equal content
+                    si = ids[lo:hi][order].astype(np.int64, copy=False)
                     runs = np.append(group_starts(cs), hi - lo)
-                    for ri in range(len(runs) - 1):
-                        s, e = runs[ri], runs[ri + 1]
-                        rep = int(si[s])
-                        for v in si[s + 1 : e]:
-                            src.append(int(v))
-                            dst.append(rep)
-                            overs.append(0)
+                    lens = np.diff(runs)
+                    # star edges member→run-min, emitted as three gathers:
+                    # dst = each run's head repeated, src = everything
+                    # that is not a run head
+                    if (lens > 1).any():
+                        dst_a = np.repeat(si[runs[:-1]], lens - 1)
+                        head = np.zeros(hi - lo, dtype=bool)
+                        head[runs[:-1]] = True
+                        src.append(si[~head])
+                        dst.append(dst_a)
+                        overs.append(np.zeros(len(dst_a), dtype=np.int64))
                     continue
                 over = max(0, (hi - lo) - max_bucket)
                 hi = min(hi, lo + max_bucket)
@@ -239,15 +243,23 @@ def minhash_dedup(
                 ).reshape(n, -1)
                 eq = (sigs[iu] == sigs[ju]).mean(axis=1)
                 keep = eq >= jaccard_threshold
-                for i, j in zip(iu[keep], ju[keep]):
-                    src.append(int(ids[lo + i]))
-                    dst.append(int(ids[lo + j]))
-                    overs.append(over)
+                if keep.any():
+                    # iu < ju and the bucket is doc-sorted → src < dst
+                    bi = ids[lo:hi].astype(np.int64, copy=False)
+                    src.append(bi[iu[keep]])
+                    dst.append(bi[ju[keep]])
+                    overs.append(np.full(int(keep.sum()), over, dtype=np.int64))
         return pd.DataFrame(
             {
-                "src": pd.Series(src, dtype="int64"),
-                "dst": pd.Series(dst, dtype="int64"),
-                "bucket_overflow": pd.Series(overs, dtype="int64"),
+                "src": pd.Series(
+                    np.concatenate(src) if src else [], dtype="int64"
+                ),
+                "dst": pd.Series(
+                    np.concatenate(dst) if dst else [], dtype="int64"
+                ),
+                "bucket_overflow": pd.Series(
+                    np.concatenate(overs) if overs else [], dtype="int64"
+                ),
             }
         )
 
@@ -388,17 +400,27 @@ def simhash_hamming_pairs(
                 x = np.bitwise_xor(sims[lo + iu], sims[lo + ju])
                 d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
                 keep = d <= hamming_k
-                for i, j, dd in zip(iu[keep], ju[keep], d[keep]):
-                    src.append(int(ids[lo + i]))
-                    dst.append(int(ids[lo + j]))
-                    ham.append(int(dd))
-                    overs.append(over)
+                if keep.any():
+                    # iu < ju and the bucket is doc-sorted → src < dst
+                    bi = ids[lo:hi].astype(np.int64, copy=False)
+                    src.append(bi[iu[keep]])
+                    dst.append(bi[ju[keep]])
+                    ham.append(d[keep].astype(np.int64, copy=False))
+                    overs.append(np.full(int(keep.sum()), over, dtype=np.int64))
         return pd.DataFrame(
             {
-                "src": pd.Series(src, dtype="int64"),
-                "dst": pd.Series(dst, dtype="int64"),
-                "hamming": pd.Series(ham, dtype="int64"),
-                "bucket_overflow": pd.Series(overs, dtype="int64"),
+                "src": pd.Series(
+                    np.concatenate(src) if src else [], dtype="int64"
+                ),
+                "dst": pd.Series(
+                    np.concatenate(dst) if dst else [], dtype="int64"
+                ),
+                "hamming": pd.Series(
+                    np.concatenate(ham) if ham else [], dtype="int64"
+                ),
+                "bucket_overflow": pd.Series(
+                    np.concatenate(overs) if overs else [], dtype="int64"
+                ),
             }
         )
 
@@ -599,9 +621,7 @@ def embedding_pairs_exact(
                 lo, hi = starts[gi], starts[gi + 1]
                 gk = int(gkeys[lo])
                 bi, bj = gk // B, gk % B
-                V = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in vecs[lo:hi]]
-                )
+                V = np.stack(list(vecs[lo:hi])).astype(np.float64, copy=False)
                 norms = np.linalg.norm(V, axis=1)
                 norms[norms == 0] = 1.0
                 Vn = V / norms[:, None]
@@ -685,7 +705,7 @@ def embedding_dedup(
         hexchars = np.empty((n, packed.shape[1] * 2), dtype=np.uint8)
         hexchars[:, 0::2] = _HEXD[packed >> 4]
         hexchars[:, 1::2] = _HEXD[packed & 0x0F]
-        offsets = np.arange(n + 1, dtype=np.int32) * hexchars.shape[1]
+        offsets = offsets32(n, hexchars.shape[1])
         keys = pa.Array.from_buffers(
             pa.utf8(),
             n,
@@ -714,22 +734,31 @@ def embedding_dedup(
                 n = hi - lo
                 if n < 2:
                     continue
-                V = np.asarray([np.asarray(v, dtype=np.float64) for v in vec_col[lo:hi]])
+                V = np.stack(list(vec_col[lo:hi])).astype(np.float64, copy=False)
                 norms = np.linalg.norm(V, axis=1)
                 norms[norms == 0] = 1.0
                 Vn = V / norms[:, None]
                 C = Vn @ Vn.T
                 iu, ju = np.triu_indices(n, k=1)
-                mask = C[iu, ju] >= cosine_threshold
-                for i, j, c in zip(iu[mask], ju[mask], C[iu, ju][mask]):
-                    src.append(int(ids[lo + i]))
-                    dst.append(int(ids[lo + j]))
-                    cos.append(float(c))
+                cv = C[iu, ju]
+                mask = cv >= cosine_threshold
+                if mask.any():
+                    # iu < ju and the bucket is doc-sorted → src < dst
+                    bi = ids[lo:hi].astype(np.int64, copy=False)
+                    src.append(bi[iu[mask]])
+                    dst.append(bi[ju[mask]])
+                    cos.append(cv[mask].astype(np.float64, copy=False))
         return pd.DataFrame(
             {
-                "src": pd.Series(src, dtype="int64"),
-                "dst": pd.Series(dst, dtype="int64"),
-                "cosine": pd.Series(cos, dtype="float64"),
+                "src": pd.Series(
+                    np.concatenate(src) if src else [], dtype="int64"
+                ),
+                "dst": pd.Series(
+                    np.concatenate(dst) if dst else [], dtype="int64"
+                ),
+                "cosine": pd.Series(
+                    np.concatenate(cos) if cos else [], dtype="float64"
+                ),
             }
         )
 

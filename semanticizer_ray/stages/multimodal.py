@@ -54,21 +54,55 @@ class DecodeFeatures:
     """Actor-pool decode + feature-extract stage.
 
     ``fake=True`` → deterministic digest-based feature vector (tests the
-    full Ray plumbing). ``fake=False`` → raises NotImplementedError naming
-    the codec dependency (Pillow / soundfile / pyav) that a real deploy
-    would install.
+    full Ray plumbing). ``fake=False`` → probes the optional codec
+    libraries ONCE per actor (``__init__``): if Pillow / soundfile are
+    installed the decode is real (grayscale thumbnail column means for
+    images, per-chunk RMS for audio), otherwise it raises
+    ``NotImplementedError`` naming the dependency — so the stub
+    self-upgrades on a real deploy with no code change.
     """
 
     def __init__(self, feature_dim: int = 8, fake: bool = True):
         self.dim = feature_dim
         self.fake = fake
+        self._pil = self._sf = None
+        if not fake:  # import probe once per actor, never per batch
+            try:
+                from PIL import Image  # type: ignore[import-not-found]
+
+                self._pil = Image
+            except ImportError:
+                pass
+            try:
+                import soundfile  # type: ignore[import-not-found]
+
+                self._sf = soundfile
+            except ImportError:
+                pass
+
+    def _decode_real(self, payload: bytes, media_type: str) -> np.ndarray:
+        import io
+
+        if media_type == "image" and self._pil is not None:
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            px = np.asarray(img.resize((self.dim, self.dim)), dtype=np.float64)
+            return px.mean(axis=0) / 255.0
+        if media_type == "audio" and self._sf is not None:
+            data, _rate = self._sf.read(io.BytesIO(payload), dtype="float64")
+            mono = data.mean(axis=1) if data.ndim > 1 else data
+            chunks = np.array_split(mono, self.dim)
+            return np.array(
+                [float(np.sqrt((c**2).mean())) if len(c) else 0.0 for c in chunks]
+            )
+        raise NotImplementedError(
+            f"real {media_type} decode requires "
+            + {"image": "Pillow", "audio": "soundfile", "video": "pyav"}[media_type]
+            + "; not installed in this environment"
+        )
 
     def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
         if not self.fake:
-            raise NotImplementedError(
-                "real decode requires Pillow (image) / soundfile (audio) / "
-                "pyav (video); not installed in this environment"
-            )
+            return self._decode_real(payload, media_type)
         digest = hashlib.sha256(payload).digest()
         raw = np.frombuffer(digest[: self.dim * 4], dtype=np.uint32)
         return (raw % 1000).astype(np.float64) / 1000.0

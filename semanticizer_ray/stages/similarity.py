@@ -7,6 +7,11 @@
 - ``knn_lsh``: the scale path — random-hyperplane buckets prune the corpus
   to the query's bucket (and optional Hamming-1 neighbors) before exact
   scoring. Recall < 1; documented trade-off, verified against knn_brute.
+
+Batch ingest is zero-copy: fixed-dim embedding columns are read as ONE
+``flatten()`` → ``reshape`` view (same fast path as
+``embedding_dedup.bucketize``), never ``to_pylist`` per row — the per-batch
+constant factor of the bandwidth-bound corpus scan at 100 TB.
 """
 
 from __future__ import annotations
@@ -22,6 +27,61 @@ def _normalize_rows(V: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(V, axis=1)
     n[n == 0] = 1.0
     return V / n[:, None]
+
+
+def _ids_and_vecs(
+    batch: pa.Table, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(int64 ids, float64 (n, D) vectors) from an Arrow batch, zero-copy.
+
+    Fixed-dim list columns take the single flatten→reshape view; ragged
+    rows fall back to the per-row path (same contract as
+    ``embedding_dedup.bucketize``, stages/dedup.py).
+    """
+    n = batch.num_rows
+    ids = (
+        batch[id_col]
+        .combine_chunks()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64, copy=False)
+    )
+    if n == 0:
+        return ids, np.empty((0, 1), dtype=np.float64)
+    lst = batch[vec_col].combine_chunks()
+    try:
+        vecs = np.asarray(lst.flatten(), dtype=np.float64).reshape(n, -1)
+    except ValueError:  # ragged rows — fall back to the per-row path
+        vecs = np.asarray(lst.to_pylist(), dtype=np.float64)
+    return ids, vecs
+
+
+def _topk_table(
+    C: np.ndarray, ids: np.ndarray, k: int, id_col: str
+) -> pa.Table:
+    """Per-batch partial top-k over a (Q, B) cosine matrix, vectorized
+    emit (one gather per output column; ties → lower id via lexsort)."""
+    kk = min(k, C.shape[1])
+    if kk == 0:
+        return pa.table(
+            {
+                "query_idx": pa.array([], pa.int32()),
+                id_col: pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    orders = np.stack(
+        [np.lexsort((ids, -C[qi]))[:kk] for qi in range(C.shape[0])]
+    )  # (Q, kk) argsort on (-cosine, id)
+    out_q = np.repeat(np.arange(C.shape[0], dtype=np.int32), kk)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int32()),
+            id_col: pa.array(ids[orders.ravel()], pa.int64()),
+            "cosine": pa.array(
+                np.take_along_axis(C, orders, axis=1).ravel(), pa.float64()
+            ),
+        }
+    )
 
 
 def knn_brute(
@@ -41,26 +101,12 @@ def knn_brute(
             self.q = ray.get(q_ref)  # (Q, D), read once per actor
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-            V = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            ids, V = _ids_and_vecs(batch, id_col, vec_col)
+            if len(ids) == 0:
+                return _topk_table(np.empty((0, 0)), ids, k, id_col)
             Vn = _normalize_rows(V)
             C = self.q @ Vn.T  # (Q, B)
-            out_q, out_id, out_c = [], [], []
-            kk = min(k, C.shape[1])
-            for qi in range(C.shape[0]):
-                # partial top-k per batch (ties → lower id): argsort on
-                # (-cosine, id) via lexsort
-                order = np.lexsort((ids, -C[qi]))[:kk]
-                out_q.extend([qi] * len(order))
-                out_id.extend(ids[order].tolist())
-                out_c.extend(C[qi][order].tolist())
-            return pa.table(
-                {
-                    "query_idx": pa.array(out_q, pa.int32()),
-                    id_col: pa.array(out_id, pa.int64()),
-                    "cosine": pa.array(out_c, pa.float64()),
-                }
-            )
+            return _topk_table(C, ids, k, id_col)
 
     partial = ds.map_batches(
         Score, batch_format="pyarrow", batch_size=8192, concurrency=(1, 4), num_cpus=1
@@ -102,19 +148,23 @@ def knn_lsh(
         if probe_hamming1:
             for p in range(num_planes):
                 probe.add(int(b) ^ (1 << p))
-    state_ref = ray.put((qn, planes, probe, q_buckets))
+    # probe set shipped as a SORTED int64 array so the per-batch membership
+    # test is one np.isin against a numpy operand (no per-batch list build)
+    probe_arr = np.array(sorted(probe), dtype=np.int64)
+    state_ref = ray.put((qn, planes, probe_arr, q_buckets))
 
     class Score:
         def __init__(self):
             self.q, self.planes, self.probe, _ = ray.get(state_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-            V = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            ids, V = _ids_and_vecs(batch, id_col, vec_col)
+            if len(ids) == 0:
+                return _topk_table(np.empty((0, 0)), ids, k, id_col)
             b = (((V @ self.planes) > 0) * (1 << np.arange(self.planes.shape[1]))).sum(
                 axis=1
             )
-            mask = np.isin(b, list(self.probe))
+            mask = np.isin(b, self.probe)
             if not mask.any():
                 return pa.table(
                     {
@@ -126,20 +176,7 @@ def knn_lsh(
             ids = ids[mask]
             Vn = _normalize_rows(V[mask])
             C = self.q @ Vn.T
-            out_q, out_id, out_c = [], [], []
-            kk = min(k, C.shape[1])
-            for qi in range(C.shape[0]):
-                order = np.lexsort((ids, -C[qi]))[:kk]
-                out_q.extend([qi] * len(order))
-                out_id.extend(ids[order].tolist())
-                out_c.extend(C[qi][order].tolist())
-            return pa.table(
-                {
-                    "query_idx": pa.array(out_q, pa.int32()),
-                    id_col: pa.array(out_id, pa.int64()),
-                    "cosine": pa.array(out_c, pa.float64()),
-                }
-            )
+            return _topk_table(C, ids, k, id_col)
 
     partial = ds.map_batches(
         Score, batch_format="pyarrow", batch_size=8192, concurrency=(1, 4), num_cpus=1

@@ -84,8 +84,10 @@ def test_batch_band_hashes_parity():
     assert bh.shape == (40, 16)
     for i in range(40):
         assert np.array_equal(bh[i], band_hashes(mat[i], 16))
-    # degenerate: fewer hashes than bands → all-zero hashes, right shape
-    assert batch_band_hashes(mat[:2, :8], 16).shape == (2, 16)
+    # degenerate: fewer hashes than bands used to produce all-zero hashes
+    # (one bucket per band → silent quadratic pair blowup); now a loud error
+    with pytest.raises(ValueError, match="num_bands"):
+        batch_band_hashes(mat[:2, :8], 16)
 
 
 def test_band_key_array_and_hex_codecs():
@@ -124,8 +126,10 @@ def test_band_key_array_and_hex_codecs():
     ragged = pa.array([b"\0" * 8, b"\0" * 16, b"\0" * 24])
     with _pytest.raises(ValueError, match="uniform"):
         sig_matrix(ragged, 3)
-    # uniform zero-width signatures → well-defined empty matrix
-    assert sig_matrix(pa.array([b"", b"", b""]), 3).shape == (3, 0)
+    # uniform zero-width signatures used to slip through as an (n, 0)
+    # matrix (→ identical all-zero band keys for every row); now loud
+    with _pytest.raises(ValueError, match="zero-width"):
+        sig_matrix(pa.array([b"", b"", b""]), 3)
 
 
 def test_doc_signatures_batch_vs_scalar():
