@@ -1301,6 +1301,64 @@ FROM documents ORDER BY doc_id
 """
 
 
+def ngram_jaccard_pairs_docs(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed word-trigram Jaccard similarity join over the
+    documents table (the oracle-checkable baseline minhash_dedup_docs
+    approximates; threshold 0.5 sits in a wide gap of the testdata's
+    Jaccard distribution — nearest pairs at 0.067 and 0.9 — so set
+    membership has no float-boundary hazard)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
+    if out.empty:  # an empty Ray dataset loses its schema on to_pandas
+        return pd.DataFrame(
+            {
+                "src": pd.Series(dtype="int64"),
+                "dst": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+    out = out.sort_values(["src", "dst"]).reset_index(drop=True)
+    return _round_cols(out, ["jaccard"], nd=6)
+
+
+# the same inverted-index plan the engine runs, stated in SQL: distinct
+# word trigrams per doc (short docs contribute their whole text; empty
+# docs nothing), gram self-join for intersection counts, |A∪B| by
+# inclusion-exclusion. list_filter drops the empty tokens DuckDB's regex
+# split keeps (Python str.split drops them natively).
+NGRAM_JACCARD_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+              ELSE array_to_string(ws, ' ') END AS g
+  FROM words, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)
+  WHERE len(ws) >= 1
+),
+counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src, dst,
+       round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = src
+JOIN counts cb ON cb.doc_id = dst
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+ORDER BY src, dst
+"""
+
+
 def simhash_docs(sf_dir: str) -> pd.DataFrame:
     """SimHash dedup in exact-verify mode (same promotion pattern as
     ``minhash_dedup_docs``): the vectorized bit-vote simhash values drive
@@ -2078,6 +2136,8 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     # exact-verify mode: LSH candidates + content-fingerprint verify ≡ the
     # exact-text GROUP BY (see minhash_dedup_docs docstring)
     "minhash_dedup_docs": (minhash_dedup_docs, MINHASH_DEDUP_SQL),
+    # exact distributed n-gram Jaccard join — full SQL oracle (self-join)
+    "ngram_jaccard_pairs_docs": (ngram_jaccard_pairs_docs, NGRAM_JACCARD_SQL),
     # exact-verify mode (same promotion): simhash groups + fingerprint verify
     "simhash_docs": (simhash_docs, SIMHASH_DEDUP_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),

@@ -12,8 +12,11 @@ First-class training-data-pipeline dedup, each over a table with
 - ``simhash_dedup``      64-bit SimHash over token hashes; duplicates =
   same simhash value (Hamming-0 buckets; Hamming≤k via band rotation is a
   documented extension).
-- ``ngram_jaccard_pairs`` exact word-n-gram Jaccard for candidate pairs
+- ``ngram_jaccard``      exact word-n-gram Jaccard for one candidate pair
   (verification primitive used by minhash_dedup).
+- ``ngram_jaccard_pairs`` EXACT distributed n-gram Jaccard similarity join
+  (inverted-index plan: postings → gram-keyed pair emit → (src, dst)
+  intersection count) — the oracle-checkable baseline minhash approximates.
 - ``embedding_dedup``    cosine near-dup over an embedding column: LSH by
   random-hyperplane sign bucket → within-bucket exact cosine ≥ τ pairs.
 """
@@ -555,6 +558,137 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     if not ga or not gb:
         return 0.0
     return len(ga & gb) / len(ga | gb)
+
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> rd.Dataset:
+    """EXACT distributed word-n-gram Jaccard similarity join — the
+    oracle-checkable baseline the MinHash/LSH path (``minhash_dedup``)
+    approximates. Output: (src, dst, jaccard) for every doc pair with
+    Jaccard ≥ ``threshold``, src < dst.
+
+    Inverted-index plan, stated Ray-Data-first (the same plan the SQL
+    oracle's self-join runs, so both sides compute the identical integer
+    ratio and set membership can never diverge):
+
+      1. ``map_batches``: per doc, the DISTINCT word-``n``-gram set (a doc
+         shorter than ``n`` words contributes its whole joined text as one
+         gram; an empty doc contributes nothing) + the doc's gram count —
+         postings ``(gram, doc, ng)``.
+      2. gram-keyed exchange (``sorted_apply_exact``): within each gram's
+         posting list emit every doc pair (a < b) — one intersection
+         contribution per shared gram.
+      3. ``(src, dst)``-keyed exchange: the group size IS the intersection
+         count ``i``; jaccard = i / (na + nb - i); keep ≥ threshold.
+
+    Exactness is the contract, so the exchange key is the gram STRING (no
+    hash-collision caveat) and no posting list is truncated. Scale notes:
+    both exchanges move (short-string, int64, int64) rows only — the doc
+    text never rides a shuffle past stage 1; the hazard is a hot gram (a
+    stopword-like n-gram shared by a large doc fraction) whose posting
+    list pairs quadratically — the same blow-up the equivalent SQL join
+    pays. At corpus scale pre-filter stop-grams upstream or use
+    ``minhash_dedup`` (the approximate route); an unbounded hot gram that
+    straddles block edges is named loudly by the groupagg remainder census
+    rather than serializing silently.
+    """
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        texts = batch[text_col].to_pylist()
+        grams_all: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        # per-DOC loop (tokenization + set-build are inherently per-doc,
+        # same cost class as textstats' documented per-doc regex)
+        for j, t in enumerate(texts):
+            ws = (t or "").lower().split()
+            if len(ws) >= n:
+                gs = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+            else:
+                gs = {" ".join(ws)} if ws else set()
+            counts[j] = len(gs)
+            grams_all.extend(gs)
+        return pa.table(
+            {
+                "gram": pa.array(grams_all, pa.string()),
+                "doc": pa.array(np.repeat(ids, counts), pa.int64()),
+                "ng": pa.array(np.repeat(counts, counts), pa.int64()),
+            }
+        )
+
+    posts = ds.map_batches(postings, batch_format="pyarrow")
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        src, dst, na, nb = [], [], [], []
+        if len(df):
+            # complete gram groups, but within-group doc order is
+            # arbitrary after the exchange — sort so iu < ju ⇒ src < dst
+            df = df.sort_values(["gram", "doc"], kind="stable")
+            grams = df["gram"].to_numpy()
+            docs = df["doc"].to_numpy()
+            ng = df["ng"].to_numpy()
+            starts = np.append(group_starts(grams), len(df))
+            for gi in range(len(starts) - 1):
+                lo, hi = starts[gi], starts[gi + 1]
+                m = hi - lo
+                if m < 2:
+                    continue
+                iu, ju = np.triu_indices(m, k=1)
+                src.append(docs[lo:hi][iu])
+                dst.append(docs[lo:hi][ju])
+                na.append(ng[lo:hi][iu])
+                nb.append(ng[lo:hi][ju])
+
+        def cat(parts: list) -> np.ndarray:
+            return np.concatenate(parts) if parts else np.array([], dtype=np.int64)
+
+        return pd.DataFrame(
+            {
+                "src": pd.Series(cat(src), dtype="int64"),
+                "dst": pd.Series(cat(dst), dtype="int64"),
+                "na": pd.Series(cat(na), dtype="int64"),
+                "nb": pd.Series(cat(nb), dtype="int64"),
+            }
+        )
+
+    pairs = sorted_apply_exact(posts, "gram", pairs_block)
+
+    def reduce_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype="int64"),
+                    "dst": pd.Series(dtype="int64"),
+                    "jaccard": pd.Series(dtype="float64"),
+                }
+            )
+        df = df.sort_values(["src", "dst"], kind="stable")
+        s = df["src"].to_numpy()
+        d = df["dst"].to_numpy()
+        na = df["na"].to_numpy()
+        nb = df["nb"].to_numpy()
+        starts = np.append(group_starts(s, d), len(df))
+        heads = starts[:-1]
+        inter = np.diff(starts)
+        # identical IEEE int64/int64 division on both engine and oracle —
+        # equal inputs give bit-equal jaccard, so threshold membership
+        # cannot diverge platform-dependently
+        jac = inter / (na[heads] + nb[heads] - inter)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "src": s[heads][keep],
+                "dst": d[heads][keep],
+                "jaccard": jac[keep],
+            }
+        )
+
+    return sorted_apply_exact(pairs, ["src", "dst"], reduce_block)
 
 
 def embedding_pairs_exact(
