@@ -1712,6 +1712,134 @@ def knn_lsh_cosine(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_idx", "cosine", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
 
 
+# ---- IVF ANN variant: same recall-gate pattern as knn_lsh ----
+_IVF_PICKS = f"{_FIXTURE_BASE}/knn_ivf_picks.parquet"
+_IVF_MANIFEST = f"{_FIXTURE_BASE}/knn_ivf_picks.manifest.json"
+_IVF_NLIST = 16
+_IVF_NPROBE = 4
+
+
+def _ivf_fingerprint() -> str:
+    return (
+        f"{_pkg_fingerprint()}:k{_KNN_K}:nl{_IVF_NLIST}:np{_IVF_NPROBE}"
+        f":emb{_file_fingerprint(_KNN_EMB)}"
+    )
+
+
+def ensure_knn_ivf_artifacts() -> None:
+    """Idempotent: run the IVF KNN (deterministic spherical-k-means cells,
+    ``nprobe`` closest probed) over the fixed embeddings table and land its
+    picks as a fingerprinted Parquet artifact for the ``knn_ivf_recall``
+    oracle — the same provenance pattern as ``ensure_knn_recall_artifacts``,
+    including the rank-k boundary-margin assertion (the hash gate needs the
+    numpy and DuckDB brute top-k sets to agree exactly)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_ivf
+
+    if _manifest_fresh(_IVF_MANIFEST, _ivf_fingerprint(), _IVF_PICKS):
+        return
+    os.makedirs(_FIXTURE_BASE, exist_ok=True)
+    emb = pq.read_table(_KNN_EMB, columns=["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id")
+    V = np.asarray([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    Q = _knn_queries()
+    sims = (Q / np.linalg.norm(Q, axis=1, keepdims=True)) @ V.T
+    top = np.sort(sims, axis=1)[:, ::-1]
+    margins = top[:, _KNN_K - 1] - top[:, _KNN_K]
+    if float(margins.min()) < 1e-9:
+        raise ValueError(
+            f"knn_ivf_recall rank-{_KNN_K} boundary margin {margins.min():.3e} "
+            f"is within float noise for query {int(margins.argmin())}: the "
+            "engine (numpy) and oracle (DuckDB) brute top-k could disagree "
+            "platform-dependently. Change _KNN_K or the query set."
+        )
+    ds = rd.read_parquet(_KNN_EMB, columns=["vec_id", "embedding"])
+    picks = (
+        knn_ivf(ds, Q, k=_KNN_K, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE)
+        .to_pandas()[["query_idx", "vec_id"]]
+        .sort_values(["query_idx", "vec_id"])
+        .reset_index(drop=True)
+    )
+    _land_parquet(_IVF_PICKS, picks)
+    _land_manifest(_IVF_MANIFEST, _ivf_fingerprint())
+
+
+def knn_ivf_recall(sf_dir: str) -> pd.DataFrame:
+    """ANN quality gate for the IVF path: recall of IVF-pruned KNN vs
+    exact brute-force top-k on the FIXED embeddings table, with the DuckDB
+    oracle independently re-deriving the exact top-k and the recall
+    arithmetic from the fingerprinted picks artifact (the
+    ``knn_lsh_recall`` pattern applied to the second scale path)."""
+    from ..stages.similarity import knn_brute
+
+    ensure_knn_ivf_artifacts()
+    import pyarrow.parquet as pq
+
+    picks = pq.read_table(_IVF_PICKS).to_pandas()
+    ds = rd.read_parquet(_KNN_EMB, columns=["vec_id", "embedding"])
+    brute = knn_brute(ds, _knn_queries(), k=_KNN_K).to_pandas()
+    bset = set(zip(brute["query_idx"], brute["vec_id"]))
+    pset = set(zip(picks["query_idx"], picks["vec_id"]))
+    hits = len(bset & pset)
+    return pd.DataFrame(
+        {
+            "n_queries": pd.Series([brute["query_idx"].nunique()], dtype="int64"),
+            "k": pd.Series([_KNN_K], dtype="int64"),
+            "n_picks": pd.Series([len(pset)], dtype="int64"),
+            "hits": pd.Series([hits], dtype="int64"),
+            "recall": pd.Series([round(hits / len(bset), 6)], dtype="float64"),
+        }
+    )
+
+
+KNN_IVF_RECALL_SQL = f"""
+WITH {KNN_BRUTE_CTES},
+picks AS (SELECT query_idx, vec_id FROM read_parquet('{_IVF_PICKS}')),
+m AS (
+  SELECT (SELECT count(DISTINCT query_idx) FROM brute) AS n_queries,
+         (SELECT count(*) FROM brute) AS n_brute,
+         (SELECT count(*) FROM picks) AS n_picks,
+         (SELECT count(*) FROM picks p
+            JOIN brute b ON p.query_idx = b.query_idx
+                        AND p.vec_id = b.vec_id) AS hits
+)
+SELECT CAST(n_queries AS BIGINT) AS n_queries,
+       CAST({_KNN_K} AS BIGINT) AS k,
+       CAST(n_picks AS BIGINT) AS n_picks,
+       CAST(hits AS BIGINT) AS hits,
+       round(CAST(hits AS DOUBLE) / n_brute, 6) AS recall
+FROM m
+"""
+
+
+def knn_ivf_cosine(sf_dir: str) -> pd.DataFrame:
+    """Approximate KNN via IVF cells (rows-only: k-means cell pruning is
+    not SQL-expressible; quality is hash-gated separately by
+    ``knn_ivf_recall``)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_ivf
+
+    q = (
+        pq.read_table(
+            _p(sf_dir, "embeddings"), filters=[("vec_id", "in", [0, 1, 2])]
+        )
+        .to_pandas()
+        .sort_values("vec_id")["embedding"]
+    )
+    queries = np.asarray([np.asarray(v, dtype=np.float64) for v in q])
+    ds = read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = knn_ivf(
+        ds, queries, k=10, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE
+    ).to_pandas()
+    out["cosine"] = out["cosine"].round(4)
+    return out.sort_values(
+        ["query_idx", "cosine", "vec_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
 # ---- embedding near-dup quality gate (planted-dup fixture) ----
 _EMBND_FIX = f"{_FIXTURE_BASE}/embnd_fixture.parquet"
 _EMBND_PAIRS = f"{_FIXTURE_BASE}/embnd_lsh_pairs.parquet"
@@ -2145,6 +2273,9 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "knn_lsh_cosine": (knn_lsh_cosine, None),
     "knn_lsh_recall": (knn_lsh_recall, KNN_LSH_RECALL_SQL),
+    # IVF ANN scale path — picks rows-only, recall hash-gated via SQL
+    "knn_ivf_cosine": (knn_ivf_cosine, None),
+    "knn_ivf_recall": (knn_ivf_recall, KNN_IVF_RECALL_SQL),
     "embedding_neardup_pairs": (embedding_neardup_pairs, None),
     "embedding_neardup_recall": (embedding_neardup_recall, EMBND_RECALL_SQL),
     # exact all-pairs cosine join — full SQL oracle (list_cosine_similarity)

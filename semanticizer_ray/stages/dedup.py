@@ -32,6 +32,7 @@ import ray.data as rd
 
 from ..config import EngineConfig
 from ..functions.groupagg import group_starts, sorted_apply_exact, sorted_grouped_agg
+from ..functions.vectors import vec_matrix
 from ..functions.minhash import (
     batch_band_hashes,
     hash_params,
@@ -822,12 +823,9 @@ def embedding_dedup(
 
     def bucketize(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        lst = batch[vec_col].combine_chunks()
-        try:
-            # fixed-dim embeddings: ONE flatten → reshape, no per-row lists
-            vecs = np.asarray(lst.flatten(), dtype=np.float64).reshape(n, -1)
-        except ValueError:  # ragged rows — fall back to the per-row path
-            vecs = np.asarray(lst.to_pylist(), dtype=np.float64)
+        # fixed-dim embeddings: ONE flatten → reshape, no per-row lists
+        # (also unwraps Ray tensor-extension columns; see functions/vectors)
+        vecs = vec_matrix(batch[vec_col], n)
         if "p" not in planes_holder:
             rng = np.random.default_rng(seed)
             planes_holder["p"] = rng.standard_normal((vecs.shape[1], num_planes))

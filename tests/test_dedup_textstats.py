@@ -489,3 +489,60 @@ def test_ngram_jaccard_pairs_threshold_and_empty(ray_session):
     # a fully-empty Ray dataset loses its schema on to_pandas (known Ray
     # quirk; the catalog wrapper restores the typed empty frame)
     assert len(out) == 0
+
+
+def test_kmeans_centroids_deterministic_and_valid():
+    """Fixed seed + fixed input → identical centroids (the IVF picks
+    artifact depends on this); unit-norm rows; nlist validation."""
+    import numpy as np
+
+    from semanticizer_ray.stages.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((200, 8))
+    C1 = kmeans_centroids(V, nlist=8, seed=42)
+    C2 = kmeans_centroids(V, nlist=8, seed=42)
+    np.testing.assert_array_equal(C1, C2)
+    np.testing.assert_allclose(np.linalg.norm(C1, axis=1), 1.0, atol=1e-12)
+    with pytest.raises(ValueError, match="nlist"):
+        kmeans_centroids(V, nlist=0)
+    with pytest.raises(ValueError, match="nlist"):
+        kmeans_centroids(V, nlist=201)
+
+
+def test_knn_ivf_full_probe_equals_brute_and_recall_gate(ray_session):
+    """With nprobe == nlist (every cell probed) IVF must equal knn_brute
+    exactly — pruning is the ONLY approximation. At the shipped operating
+    point (nlist=16, nprobe=4) the recall gate's engine/oracle pair
+    hash-matches and recall clears the representative floor."""
+    import duckdb
+
+    from semanticizer_ray.pipelines.catalog import (
+        KNN_IVF_RECALL_SQL,
+        _KNN_EMB,
+        _knn_queries,
+        knn_ivf_recall,
+    )
+    from semanticizer_ray.sources.parquet import read_table
+    from semanticizer_ray.stages.similarity import knn_brute, knn_ivf
+
+    ds = read_table(_KNN_EMB, columns=["vec_id", "embedding"])
+    Q = _knn_queries()
+    brute = (
+        knn_brute(ds, Q, k=10)
+        .to_pandas()
+        .sort_values(["query_idx", "vec_id"])
+        .reset_index(drop=True)
+    )
+    full = (
+        knn_ivf(ds, Q, k=10, nlist=8, nprobe=8)
+        .to_pandas()
+        .sort_values(["query_idx", "vec_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(full, brute)
+
+    got = knn_ivf_recall("unused")
+    want = duckdb.sql(KNN_IVF_RECALL_SQL).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["recall"].iloc[0] >= 0.6  # representative operating point

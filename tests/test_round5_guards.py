@@ -155,3 +155,23 @@ def test_knn_ingest_zero_copy_matches_listpath(ray_session):
     assert list(ids) == [7, 8, 9]
     np.testing.assert_allclose(V, [[1, 2], [3, 4], [5, 6]])
     assert V.dtype == np.float64
+
+def test_vec_matrix_tensor_extension_and_null_guard(ray_session):
+    """rd.from_pandas with ndarray cells yields Ray's Arrow tensor-extension
+    column; vec_matrix must unwrap its storage (found live in r5 verify).
+    Null rows must raise loudly, never silently misalign a reshape."""
+    import pandas as pd
+    import ray.data as rd
+
+    from semanticizer_ray.functions.vectors import vec_matrix
+
+    V = np.arange(12, dtype=np.float64).reshape(4, 3)
+    df = pd.DataFrame({"vec_id": np.arange(4, dtype=np.int64), "embedding": list(V)})
+    batch = rd.from_pandas(df).take_batch(4, batch_format="pyarrow")
+    np.testing.assert_array_equal(vec_matrix(batch["embedding"], 4), V)
+
+    nulled = pa.table(
+        {"embedding": pa.array([[1.0, 2.0], None, [3.0, 4.0]], pa.list_(pa.float64()))}
+    )
+    with pytest.raises(ValueError, match="null"):
+        vec_matrix(nulled["embedding"], 3)
