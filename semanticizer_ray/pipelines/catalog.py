@@ -514,6 +514,59 @@ FROM documents ORDER BY doc_id
 """
 
 
+_BM25_TERMS = ("vector", "join", "stream", "spark")
+
+
+def doc_bm25(sf_dir: str) -> pd.DataFrame:
+    """Okapi BM25 keyword scoring of a fixed query-term set over the
+    documents table (two streaming passes: tree-reduced corpus stats,
+    then broadcast-state scoring; stages/retrieval.py). Result-set
+    membership is integer-determined (term present or not); only the
+    score value is rounded for the hash gate."""
+    from ..stages.retrieval import bm25_score
+
+    ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = bm25_score(ds, _BM25_TERMS).to_pandas()
+    out["score"] = out["score"].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_BM25_VALUES = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+DOC_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+  FROM documents
+),
+toks_f AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+dl AS (
+  SELECT d.doc_id, count(t.tok) AS dl
+  FROM documents d LEFT JOIN toks_f t USING (doc_id) GROUP BY d.doc_id
+),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS dl_total FROM dl),
+q(term) AS (VALUES {_BM25_VALUES}),
+tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM toks_f JOIN q ON toks_f.tok = q.term GROUP BY doc_id, tok
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(sum(
+         ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+         * tf.tf * 2.2
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                           / (CAST(stats.dl_total AS DOUBLE) / stats.n_docs)))
+       ), 6) AS score
+FROM tf
+JOIN df USING (term)
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY tf.doc_id
+"""
+
+
 def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import exact_dedup
 
@@ -2252,6 +2305,8 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     # text / dedup / similarity — SQL where expressible
     "docs_by_lang": (docs_by_lang, DOCS_BY_LANG_SQL),
     "doc_token_counts": (doc_token_counts, DOC_TOKENS_SQL),
+    # BM25 keyword retrieval — full SQL oracle (whole computation in SQL)
+    "doc_bm25": (doc_bm25, DOC_BM25_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "knn_cosine": (knn_cosine, KNN_SQL),
     "components_supplier_part": (components_supplier_part, COMPONENTS_SQL),

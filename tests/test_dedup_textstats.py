@@ -546,3 +546,44 @@ def test_knn_ivf_full_probe_equals_brute_and_recall_gate(ray_session):
     want = duckdb.sql(KNN_IVF_RECALL_SQL).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["recall"].iloc[0] >= 0.6  # representative operating point
+
+
+def test_bm25_hand_computed_and_validation(ray_session):
+    """BM25 on a 3-doc corpus vs an independent in-test recomputation of
+    the Okapi formula; membership is term-presence; validation raises."""
+    import math
+
+    import ray.data as rd
+
+    from semanticizer_ray.stages.retrieval import bm25_score
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series([0, 1, 2], dtype="int64"),
+            "text": ["cat dog CAT", "bird bird", "dog!"],
+        }
+    )
+    out = (
+        bm25_score(rd.from_pandas(docs).repartition(2), ("cat", "dog"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [0, 2]
+    assert list(out["n_terms"]) == [2, 1]
+
+    # independent recomputation: N=3, avgdl=2, df(cat)=1, df(dog)=2
+    def idf(df):
+        return math.log((3 - df + 0.5) / (df + 0.5) + 1)
+
+    def part(tf, dl, df):
+        return idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0))
+
+    want0 = part(2, 3, 1) + part(1, 3, 2)
+    want2 = part(1, 1, 2)
+    np.testing.assert_allclose(out["score"], [want0, want2], rtol=1e-12)
+
+    with pytest.raises(ValueError, match="terms"):
+        bm25_score(rd.from_pandas(docs), ())
+    with pytest.raises(ValueError, match="terms"):
+        bm25_score(rd.from_pandas(docs), ("cat", "cat"))
