@@ -567,6 +567,63 @@ ORDER BY tf.doc_id
 """
 
 
+def corpus_top_terms_q(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide top-20 terms (pre-aggregated word count; integer
+    counts + term tie-break → deterministic top-k set)."""
+    from ..stages.retrieval import corpus_top_terms
+
+    ds = read_table(_p(sf_dir, "documents"), columns=["text"])
+    out = corpus_top_terms(ds, k=20).to_pandas()
+    return out.sort_values(["n", "term"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+
+
+CORPUS_TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM toks WHERE term <> ''
+GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+
+_SHARD_BUDGET = 500
+
+
+def doc_token_shards(sf_dir: str) -> pd.DataFrame:
+    """Token-budget shard assignment (two-level distributed prefix sum;
+    stages/packing.py). shard_id = exclusive running whitespace-token
+    total in doc_id order // budget — all-integer, hash-gate-safe."""
+    from ..stages.packing import token_shards
+
+    ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = token_shards(ds, budget=_SHARD_BUDGET, bucket_width=64).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_TOKEN_SHARDS_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+w AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(before // {_SHARD_BUDGET} AS BIGINT) AS shard_id
+FROM w ORDER BY doc_id
+"""
+
+
 def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import exact_dedup
 
@@ -2307,6 +2364,9 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "doc_token_counts": (doc_token_counts, DOC_TOKENS_SQL),
     # BM25 keyword retrieval — full SQL oracle (whole computation in SQL)
     "doc_bm25": (doc_bm25, DOC_BM25_SQL),
+    # corpus word-count top-k + token-budget shard packing (full oracles)
+    "corpus_top_terms": (corpus_top_terms_q, CORPUS_TOP_TERMS_SQL),
+    "doc_token_shards": (doc_token_shards, DOC_TOKEN_SHARDS_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "knn_cosine": (knn_cosine, KNN_SQL),
     "components_supplier_part": (components_supplier_part, COMPONENTS_SQL),

@@ -115,3 +115,38 @@ def bm25_score(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def corpus_top_terms(
+    ds: rd.Dataset, k: int = 20, text_col: str = "text"
+) -> rd.Dataset:
+    """Corpus-wide top-k terms by occurrence count — the canonical
+    pre-aggregate-before-shuffle plan: each batch emits one (term, n)
+    partial row per DISTINCT term it saw (a Counter, so the exchange
+    carries the batch's vocabulary, not its token stream), the per-term
+    combine runs through ``sorted_grouped_agg``, and only the k winners
+    survive the final sort-limit. Ties break by term ascending (integer
+    counts → the top-k SET is float-noise-proof)."""
+    from collections import Counter
+
+    from ..functions.groupagg import grouped_count
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch[text_col].to_pylist():
+            c.update(_TOKEN_RE.findall((text or "").lower()))
+        terms = sorted(c)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "n": pa.array([c[t] for t in terms], pa.int64()),
+            }
+        )
+
+    counts = grouped_count(
+        ds.map_batches(partials, batch_format="pyarrow"), "term", "n"
+    )
+    return counts.sort(["n", "term"], descending=[True, False]).limit(k)

@@ -587,3 +587,56 @@ def test_bm25_hand_computed_and_validation(ray_session):
         bm25_score(rd.from_pandas(docs), ())
     with pytest.raises(ValueError, match="terms"):
         bm25_score(rd.from_pandas(docs), ("cat", "cat"))
+
+
+def test_corpus_top_terms_hand_counted(ray_session):
+    import ray.data as rd
+
+    from semanticizer_ray.stages.retrieval import corpus_top_terms
+
+    docs = pd.DataFrame(
+        {"text": ["cat dog cat", "Dog! dog bird", "cat zzz", "", None]}
+    )
+    out = corpus_top_terms(rd.from_pandas(docs).repartition(3), k=3).to_pandas()
+    # counts: cat=3, dog=3, bird=1, zzz=1 → ties by term asc
+    assert list(out["term"]) == ["cat", "dog", "bird"]
+    assert list(out["n"]) == [3, 3, 1]
+    with pytest.raises(ValueError, match="k must"):
+        corpus_top_terms(rd.from_pandas(docs), k=0)
+
+
+def test_token_shards_hand_computed_and_invariance(ray_session):
+    """shard_id = exclusive running token total // budget, in doc_id
+    order — incl. an over-budget doc (keeps its shard alone, ids skip),
+    non-dense doc_ids, and partitioning/bucket_width invariance."""
+    import ray.data as rd
+
+    from semanticizer_ray.stages.packing import token_shards
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series([2, 5, 9, 14, 21], dtype="int64"),
+            "text": ["a b c", "d e", "w " * 12, "x", "y z"],
+        }
+    )
+    # tokens: 3, 2, 12, 1, 2 → before: 0, 3, 5, 17, 18 → //4: 0, 0, 1, 4, 4
+    want = [0, 0, 1, 4, 4]
+    out = (
+        token_shards(rd.from_pandas(docs).repartition(3), budget=4, bucket_width=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_tokens"]) == [3, 2, 12, 1, 2]
+    assert list(out["shard_id"]) == want
+
+    # invariant to partitioning and bucket granularity
+    out2 = (
+        token_shards(rd.from_pandas(docs).repartition(1), budget=4, bucket_width=1000)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+    with pytest.raises(ValueError, match="budget"):
+        token_shards(rd.from_pandas(docs), budget=0)
