@@ -624,6 +624,36 @@ FROM w ORDER BY doc_id
 """
 
 
+_STRAT_RATES = {"en": 0.25, "zh": 0.5, "es": 1.0, "de": 0.75}  # fr → default 0.1
+_STRAT_DEFAULT = 0.1
+
+
+def docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Per-language deterministic downsampling (training-data
+    rebalancing): keep iff (doc_id * KNUTH) mod 2^32 < rate(lang) * 2^32.
+    All-integer membership — hash-gate-safe by construction."""
+    from ..stages.filters import stratified_sample
+
+    ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+    out = stratified_sample(
+        ds, _STRAT_RATES, default_rate=_STRAT_DEFAULT
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_STRAT_VALUES = ", ".join(
+    f"('{g}', {int(r * (1 << 32))})" for g, r in _STRAT_RATES.items()
+)
+DOCS_STRATIFIED_SQL = f"""
+WITH r(lang, thr) AS (VALUES {_STRAT_VALUES})
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+FROM documents d LEFT JOIN r USING (lang)
+WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296
+      < coalesce(r.thr, {int(_STRAT_DEFAULT * (1 << 32))})
+ORDER BY d.doc_id
+"""
+
+
 def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import exact_dedup
 
@@ -2367,6 +2397,8 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     # corpus word-count top-k + token-budget shard packing (full oracles)
     "corpus_top_terms": (corpus_top_terms_q, CORPUS_TOP_TERMS_SQL),
     "doc_token_shards": (doc_token_shards, DOC_TOKEN_SHARDS_SQL),
+    # per-group deterministic sampling (training-data rebalancing)
+    "docs_stratified_sample": (docs_stratified_sample, DOCS_STRATIFIED_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "knn_cosine": (knn_cosine, KNN_SQL),
     "components_supplier_part": (components_supplier_part, COMPONENTS_SQL),

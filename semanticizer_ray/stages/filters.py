@@ -110,3 +110,47 @@ def remove_stopwords(
         return batch.append_column(out_col, pa.array(out, pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (public domain)
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> rd.Dataset:
+    """Deterministic per-group systematic sampling: keep a row iff
+    ``(id * KNUTH) mod 2^32 < rate(group) * 2^32`` — the same
+    reproducible-across-runs/engines hash family as ``events_sample``
+    (O3), but with a PER-GROUP rate (the training-data rebalancing move:
+    downsample over-represented languages/sources). Zero shuffle: one
+    vectorized ``map_batches`` filter; the rate table ships in the task
+    closure (a few entries). uint64 wrap-around multiply keeps the hash
+    exact for the full int64 id range (mirrors the HUGEINT SQL oracle).
+    """
+    for g, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for group {g!r} must be in [0, 1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    thr_map = {g: int(r * (1 << 32)) for g, r in rates.items()}
+    default_thr = int(default_rate * (1 << 32))
+
+    def pick(df):
+        import numpy as np
+
+        h = (df[id_col].to_numpy(np.uint64) * np.uint64(_KNUTH)) & np.uint64(
+            0xFFFFFFFF
+        )
+        thr = (
+            df[group_col]
+            .map(thr_map)
+            .fillna(default_thr)
+            .to_numpy(dtype=np.uint64)
+        )
+        return df[h < thr]
+
+    return ds.map_batches(pick, batch_format="pandas")

@@ -640,3 +640,40 @@ def test_token_shards_hand_computed_and_invariance(ray_session):
     pd.testing.assert_frame_equal(out, out2)
     with pytest.raises(ValueError, match="budget"):
         token_shards(rd.from_pandas(docs), budget=0)
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    """Per-group keep decisions are deterministic, respect the per-group
+    rate direction (rate 0 drops all, rate 1 keeps all), unknown groups
+    take the default, and a rerun is identical."""
+    import ray.data as rd
+
+    from semanticizer_ray.stages.filters import stratified_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(1000), dtype="int64"),
+            "lang": ["en", "de", "xx", "fr"] * 250,
+        }
+    )
+    rates = {"en": 1.0, "de": 0.0, "fr": 0.5}
+    out = (
+        stratified_sample(rd.from_pandas(df).repartition(4), rates, default_rate=0.2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    by = out.groupby("lang").size()
+    assert by.get("en", 0) == 250  # rate 1.0 keeps all
+    assert by.get("de", 0) == 0  # rate 0.0 drops all
+    assert 70 <= by.get("fr", 0) <= 180  # ~0.5 of 250
+    assert 20 <= by.get("xx", 0) <= 80  # default ~0.2 of 250
+    out2 = (
+        stratified_sample(rd.from_pandas(df).repartition(9), rates, default_rate=0.2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+    with pytest.raises(ValueError, match="rate"):
+        stratified_sample(rd.from_pandas(df), {"en": 1.5})
