@@ -118,6 +118,11 @@ def run_bench() -> dict:
         "simhash_docs",
         "knn_cosine",
         "doc_quality",
+        # round-5 additions: second ANN scale path + retrieval/curation ops
+        "knn_ivf_cosine",
+        "doc_bm25",
+        "corpus_top_terms",
+        "doc_token_shards",
     ]
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         extra = []

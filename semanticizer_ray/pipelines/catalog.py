@@ -654,6 +654,71 @@ ORDER BY d.doc_id
 """
 
 
+_CONTAM_N = 4
+_CONTAM_BENCH_IDS = 5  # docs 0..4 stand in for the eval/benchmark corpus
+
+
+def docs_contamination(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: documents sharing ≥1 word 4-gram with
+    the (stand-in) benchmark corpus — docs 0..4 of the same table, so the
+    check is fully deterministic with no external data. The blocklist is
+    the small broadcast side; the corpus pass is shuffle-free
+    (stages/retrieval.py :: contamination_check)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.retrieval import contamination_check, word_ngrams
+
+    bench = pq.read_table(
+        _p(sf_dir, "documents"),
+        columns=["text"],
+        filters=[("doc_id", "<", _CONTAM_BENCH_IDS)],
+    )
+    blocklist: set[str] = set()
+    for t in bench["text"].to_pylist():
+        blocklist.update(word_ngrams(t, _CONTAM_N))
+    ds = read_table(
+        _p(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") >= _CONTAM_BENCH_IDS,
+    )
+    out = contamination_check(ds, blocklist, n=_CONTAM_N).to_pandas()
+    if len(out) == 0:  # empty Ray datasets lose their schema on to_pandas
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "n_hits": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_CONTAMINATION_SQL = f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, w,
+         unnest(range(1, greatest(len(w) - {_CONTAM_N - 2}, 1))) AS i
+  FROM words
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i : i + {_CONTAM_N - 1}], ' ') AS gram
+  FROM pos
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < {_CONTAM_BENCH_IDS})
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+       CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits
+FROM grams g JOIN bench USING (gram)
+WHERE g.doc_id >= {_CONTAM_BENCH_IDS}
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import exact_dedup
 
@@ -2399,6 +2464,8 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "doc_token_shards": (doc_token_shards, DOC_TOKEN_SHARDS_SQL),
     # per-group deterministic sampling (training-data rebalancing)
     "docs_stratified_sample": (docs_stratified_sample, DOCS_STRATIFIED_SQL),
+    # benchmark decontamination (word 5-gram overlap vs broadcast blocklist)
+    "docs_contamination": (docs_contamination, DOCS_CONTAMINATION_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "knn_cosine": (knn_cosine, KNN_SQL),
     "components_supplier_part": (components_supplier_part, COMPONENTS_SQL),

@@ -150,3 +150,64 @@ def corpus_top_terms(
         ds.map_batches(partials, batch_format="pyarrow"), "term", "n"
     )
     return counts.sort(["n", "term"], descending=[True, False]).limit(k)
+
+
+def contamination_check(
+    ds: rd.Dataset,
+    blocklist: set[str] | frozenset[str],
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Benchmark-decontamination scan: ``(doc_id, n_hits)`` for documents
+    sharing ≥1 word ``n``-gram with ``blocklist`` (the benchmark/eval
+    corpus's n-gram set). ``n_hits`` counts DISTINCT matching grams —
+    all-integer, hash-gate-safe.
+
+    Scale shape: the blocklist (an eval set — KBs to MBs, never corpus-
+    sized) broadcasts once via ``ray.put``; the corpus pass is one
+    shuffle-free ``map_batches`` doing set-membership per gram. Same
+    tokenizer as ``bm25_score`` so the SQL oracle mirrors it exactly.
+    """
+    import ray
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bl_ref = ray.put(frozenset(blocklist))
+
+    class Scan:
+        def __init__(self):
+            self.bl = ray.get(bl_ref)  # read once per worker
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bl = self.bl
+            ids_out: list[int] = []
+            hits_out: list[int] = []
+            ids = batch[id_col].to_pylist()
+            for doc_id, text in zip(ids, batch[text_col].to_pylist()):
+                w = _TOKEN_RE.findall((text or "").lower())
+                hits = {
+                    g
+                    for i in range(len(w) - n + 1)
+                    if (g := " ".join(w[i : i + n])) in bl
+                }
+                if hits:
+                    ids_out.append(doc_id)
+                    hits_out.append(len(hits))
+            return pa.table(
+                {
+                    id_col: pa.array(ids_out, pa.int64()),
+                    "n_hits": pa.array(hits_out, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(
+        Scan, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+    )
+
+
+def word_ngrams(text: str, n: int) -> list[str]:
+    """The exact gram construction ``contamination_check`` scans for —
+    exposed so callers can build a blocklist from an eval corpus."""
+    w = _TOKEN_RE.findall((text or "").lower())
+    return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]

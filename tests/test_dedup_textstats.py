@@ -677,3 +677,36 @@ def test_stratified_sample_rates_and_determinism(ray_session):
     pd.testing.assert_frame_equal(out, out2)
     with pytest.raises(ValueError, match="rate"):
         stratified_sample(rd.from_pandas(df), {"en": 1.5})
+
+
+def test_contamination_check_hand_computed(ray_session):
+    """Docs overlapping the blocklist by ≥1 word n-gram are flagged with
+    the DISTINCT matching-gram count; clean docs are absent; punctuation
+    and case fold into the shared tokenizer."""
+    import ray.data as rd
+
+    from semanticizer_ray.stages.retrieval import contamination_check, word_ngrams
+
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    bl = set(word_ngrams(bench_text, 3))
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series([10, 11, 12], dtype="int64"),
+            "text": [
+                "The QUICK, brown fox! ran",  # hits "the quick brown" + "quick brown fox"
+                "a clean document entirely",
+                "over the lazy dog again over the lazy dog",  # 2 distinct hits, repeated
+            ],
+        }
+    )
+    out = (
+        contamination_check(rd.from_pandas(docs).repartition(2), bl, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [10, 12]
+    assert list(out["n_hits"]) == [2, 2]
+    assert word_ngrams("a b", 3) == []
+    with pytest.raises(ValueError, match="n must"):
+        contamination_check(rd.from_pandas(docs), bl, n=0)
