@@ -296,3 +296,62 @@ def grouped_count(
         return df.groupby(key, sort=False).size().reset_index(name=out_col)
 
     return sorted_grouped_agg(ds, key, combine, driver_gate=driver_gate)
+
+
+def grouped_quantiles_disc(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+) -> rd.Dataset:
+    """Exact per-group DISCRETE quantiles (DuckDB ``quantile_disc``
+    semantics: sorted[ceil(q*n) - 1]) for an integer-valued column —
+    scale-safe via the value-histogram plan: each batch pre-aggregates
+    to (key, value, cnt) rows, the sorted exchange carries only the
+    HISTOGRAM (distinct values per key, not rows), and the per-group
+    walk picks quantiles from cumulative counts. A skewed key (one group
+    = most of the corpus) costs its distinct-value count, never its row
+    count. Output: (key, n, q<pct>...) — all-integer, hash-gate-safe."""
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    qcols = [f"q{int(round(q * 100))}" for q in qs]
+    if len(set(qcols)) != len(qcols):
+        raise ValueError(f"quantiles {qs} collide after q<pct> naming")
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby([key, value_col], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            cols = {key: pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
+            cols.update({c: pd.Series(dtype="int64") for c in qcols})
+            return pd.DataFrame(cols)
+        # partials for the same (key, value) may arrive from many blocks
+        hist = (
+            df.groupby([key, value_col], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+            .sort_values([key, value_col], kind="stable")
+        )
+        out_rows = []
+        keys = hist[key].to_numpy()
+        vals = hist[value_col].to_numpy()
+        cnts = hist["cnt"].to_numpy(dtype=np.int64)
+        starts = np.append(group_starts(keys), len(hist))
+        for lo, hi in zip(starts[:-1], starts[1:]):
+            csum = np.cumsum(cnts[lo:hi])
+            n = int(csum[-1])
+            row = {key: keys[lo], "n": n}
+            for q, c in zip(qs, qcols):
+                rank = max(int(np.ceil(q * n)), 1)  # 1-based target rank
+                row[c] = int(vals[lo:hi][np.searchsorted(csum, rank)])
+            out_rows.append(row)
+        return pd.DataFrame(out_rows)
+
+    pre = ds.map_batches(partials, batch_format="pandas")
+    return sorted_apply_exact(pre, key, per_key)

@@ -719,6 +719,27 @@ ORDER BY g.doc_id
 """
 
 
+def docs_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-language discrete length quantiles via the value-
+    histogram plan (functions/groupagg.py :: grouped_quantiles_disc) —
+    corpus length statistics, all-integer output."""
+    from ..functions.groupagg import grouped_quantiles_disc
+
+    ds = read_table(_p(sf_dir, "documents"), columns=["lang", "n_chars"])
+    out = grouped_quantiles_disc(ds, "lang", "n_chars").to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+DOCS_LENGTH_QUANTILES_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q25,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS q50,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS q90
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import exact_dedup
 
@@ -2466,6 +2487,8 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "docs_stratified_sample": (docs_stratified_sample, DOCS_STRATIFIED_SQL),
     # benchmark decontamination (word 5-gram overlap vs broadcast blocklist)
     "docs_contamination": (docs_contamination, DOCS_CONTAMINATION_SQL),
+    # exact per-group discrete quantiles via the value-histogram plan
+    "docs_length_quantiles": (docs_length_quantiles, DOCS_LENGTH_QUANTILES_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "knn_cosine": (knn_cosine, KNN_SQL),
     "components_supplier_part": (components_supplier_part, COMPONENTS_SQL),

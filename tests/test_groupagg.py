@@ -76,3 +76,43 @@ def test_sorted_apply_exact_full_groups(ray_session):
     m = got.merge(want, on="k", suffixes=("_g", "_w"))
     assert len(m) == len(want)
     assert (m["sz_g"] == m["sz_w"]).all()
+
+
+def test_grouped_quantiles_disc_matches_duckdb_and_validates(ray_session):
+    """Histogram-plan quantiles == DuckDB quantile_disc on a fresh random
+    frame (many ties, skewed group sizes); q validation raises."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from semanticizer_ray.functions.groupagg import grouped_quantiles_disc
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=997, p=[0.8, 0.15, 0.05]),
+            "v": rng.integers(0, 25, size=997).astype("int64"),
+        }
+    )
+    got = (
+        grouped_quantiles_disc(rd.from_pandas(df).repartition(5), "g", "v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """SELECT g, CAST(count(*) AS BIGINT) AS n,
+                  CAST(quantile_disc(v, 0.25) AS BIGINT) AS q25,
+                  CAST(quantile_disc(v, 0.5) AS BIGINT) AS q50,
+                  CAST(quantile_disc(v, 0.9) AS BIGINT) AS q90
+           FROM t GROUP BY g ORDER BY g"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    with pytest.raises(ValueError, match="quantiles"):
+        grouped_quantiles_disc(rd.from_pandas(df), "g", "v", qs=(0.0,))
+    with pytest.raises(ValueError, match="collide"):
+        grouped_quantiles_disc(rd.from_pandas(df), "g", "v", qs=(0.501, 0.504))
