@@ -740,6 +740,47 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def embedding_quantized(sf_dir: str) -> pd.DataFrame:
+    """Symmetric int8 quantization summary per embedding (stages/
+    quantize.py): scale + integer code stats; the codes themselves are
+    covered by the integer summaries (bit-identical by construction —
+    see the module's determinism note)."""
+    from ..stages.quantize import quantize_embeddings
+
+    ds = read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = quantize_embeddings(ds).to_pandas()
+    out = out[["vec_id", "scale", "code_sum", "code_min", "code_max"]]
+    out["scale"] = out["scale"].round(9)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+EMBEDDING_QUANTIZED_SQL = """
+WITH s AS (
+  -- widen float32 storage to DOUBLE first (exact), matching the
+  -- engine's float64 ingest, so every elementwise op is bit-identical
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           / 127.0 AS scale
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, scale,
+         list_transform(emb, x -> CAST(
+           CASE WHEN scale = 0 THEN 0
+                ELSE greatest(least(floor(x / scale + 0.5), 127), -127) END
+           AS BIGINT)) AS codes
+  FROM s
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(scale, 9) AS scale,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_min(codes) AS BIGINT) AS code_min,
+       CAST(list_max(codes) AS BIGINT) AS code_max
+FROM c ORDER BY vec_id
+"""
+
+
 def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import exact_dedup
 
@@ -2489,6 +2530,8 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "docs_contamination": (docs_contamination, DOCS_CONTAMINATION_SQL),
     # exact per-group discrete quantiles via the value-histogram plan
     "docs_length_quantiles": (docs_length_quantiles, DOCS_LENGTH_QUANTILES_SQL),
+    # int8 embedding quantization (storage path) — integer summary oracle
+    "embedding_quantized": (embedding_quantized, EMBEDDING_QUANTIZED_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "knn_cosine": (knn_cosine, KNN_SQL),
     "components_supplier_part": (components_supplier_part, COMPONENTS_SQL),

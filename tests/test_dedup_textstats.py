@@ -710,3 +710,37 @@ def test_contamination_check_hand_computed(ray_session):
     assert word_ngrams("a b", 3) == []
     with pytest.raises(ValueError, match="n must"):
         contamination_check(rd.from_pandas(docs), bl, n=0)
+
+
+def test_quantize_embeddings_roundtrip_and_edges(ray_session):
+    """int8 codes reconstruct within scale/2 per element; zero vectors
+    get scale 0 / all-zero codes; codes stay in [-127, 127] with the max
+    element mapping to exactly ±127."""
+    import ray.data as rd
+
+    from semanticizer_ray.stages.quantize import quantize_embeddings
+
+    rng = np.random.default_rng(23)
+    V = rng.standard_normal((50, 16))
+    V[7] = 0.0  # zero vector
+    V[9, 3] = -V[9].__abs__().max() * 1.5  # negative max magnitude
+    df = pd.DataFrame(
+        {"vec_id": np.arange(50, dtype=np.int64), "embedding": list(map(list, V))}
+    )
+    out = (
+        quantize_embeddings(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out["code_min"].min() >= -127 and out["code_max"].max() <= 127
+    z = out[out.vec_id == 7].iloc[0]
+    assert z["scale"] == 0 and z["code_sum"] == 0 and z["code_max"] == 0
+    n9 = out[out.vec_id == 9].iloc[0]
+    assert n9["code_min"] == -127  # the max-magnitude element, negative
+    for _, row in out.iterrows():
+        codes = np.asarray(row["codes"], dtype=np.float64)
+        recon = codes * row["scale"]
+        err = np.abs(recon - V[int(row["vec_id"])])
+        bound = (row["scale"] / 2 if row["scale"] > 0 else 0) + 1e-12
+        assert err.max() <= bound, (row["vec_id"], err.max(), bound)
