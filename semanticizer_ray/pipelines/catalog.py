@@ -781,6 +781,47 @@ FROM c ORDER BY vec_id
 """
 
 
+def doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Within-doc duplicate 2-gram fraction (Gopher/C4-style repetition
+    quality rule; stages/textstats.py :: repetition_stats)."""
+    from ..stages.textstats import repetition_stats
+
+    ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = repetition_stats(ds, n=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_REPETITION_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w), 1))) AS i FROM words
+),
+g AS (
+  SELECT doc_id, array_to_string(w[i : i + 1], ' ') AS gram, count(*) AS c
+  FROM pos GROUP BY doc_id, gram
+),
+a AS (
+  SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct,
+         max(c) AS max_gram_count
+  FROM g GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(coalesce(a.max_gram_count, 0) AS BIGINT) AS max_gram_count,
+       round(CASE WHEN coalesce(a.n_grams, 0) > 0
+                  THEN 1.0 - a.n_distinct / CAST(a.n_grams AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM documents d LEFT JOIN a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import exact_dedup
 
@@ -2532,6 +2573,8 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "docs_length_quantiles": (docs_length_quantiles, DOCS_LENGTH_QUANTILES_SQL),
     # int8 embedding quantization (storage path) — integer summary oracle
     "embedding_quantized": (embedding_quantized, EMBEDDING_QUANTIZED_SQL),
+    # Gopher/C4-style within-doc repetition quality signal
+    "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "knn_cosine": (knn_cosine, KNN_SQL),
     "components_supplier_part": (components_supplier_part, COMPONENTS_SQL),

@@ -183,3 +183,50 @@ def fingerprint(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         return batch.append_column("fp", pa.array(fps, pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def repetition_stats(
+    ds: rd.Dataset, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Within-document repetition signal (the Gopher/C4-style quality
+    rule "drop documents whose duplicate n-gram fraction is high"):
+    per doc, the total vs DISTINCT word ``n``-gram counts, the count of
+    the most repeated gram, and the duplicate fraction
+    ``1 - distinct/total`` (0 for docs with < n words). Tokens are
+    lowercased ``[a-z0-9]+`` runs (the retrieval-family tokenizer, so
+    the SQL oracle is shared). Integer counts + one rounded ratio;
+    shuffle-free stateless pass."""
+    from collections import Counter
+
+    from .retrieval import _TOKEN_RE
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def f(batch: pa.Table) -> pa.Table:
+        total_out, distinct_out, maxcnt_out = [], [], []
+        for text in batch[text_col].to_pylist():
+            w = _TOKEN_RE.findall((text or "").lower())
+            grams = Counter(
+                tuple(w[i : i + n]) for i in range(len(w) - n + 1)
+            )
+            total = sum(grams.values())
+            total_out.append(total)
+            distinct_out.append(len(grams))
+            maxcnt_out.append(max(grams.values()) if grams else 0)
+        total = np.asarray(total_out, dtype=np.int64)
+        distinct = np.asarray(distinct_out, dtype=np.int64)
+        frac = np.where(total > 0, 1.0 - distinct / np.maximum(total, 1), 0.0)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_grams": pa.array(total, pa.int64()),
+                "n_distinct": pa.array(distinct, pa.int64()),
+                "max_gram_count": pa.array(
+                    np.asarray(maxcnt_out, dtype=np.int64), pa.int64()
+                ),
+                "dup_frac": pa.array(np.round(frac, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -744,3 +744,35 @@ def test_quantize_embeddings_roundtrip_and_edges(ray_session):
         err = np.abs(recon - V[int(row["vec_id"])])
         bound = (row["scale"] / 2 if row["scale"] > 0 else 0) + 1e-12
         assert err.max() <= bound, (row["vec_id"], err.max(), bound)
+
+
+def test_repetition_stats_hand_computed(ray_session):
+    """Hand-counted duplicate 2-gram fractions, incl. a no-token doc and
+    a doc shorter than n (both → all-zero row, frac 0)."""
+    import ray.data as rd
+
+    from semanticizer_ray.stages.textstats import repetition_stats
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series([0, 1, 2, 3], dtype="int64"),
+            "text": [
+                "a b a b a",  # grams: ab,ba,ab,ba → total 4, distinct 2, max 2
+                "x y z",  # xy,yz → total 2, distinct 2, max 1
+                "solo",  # < 2 tokens → zeros
+                "!!!",  # no tokens → zeros
+            ],
+        }
+    )
+    out = (
+        repetition_stats(rd.from_pandas(docs).repartition(2), n=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_grams"]) == [4, 2, 0, 0]
+    assert list(out["n_distinct"]) == [2, 2, 0, 0]
+    assert list(out["max_gram_count"]) == [2, 1, 0, 0]
+    np.testing.assert_allclose(out["dup_frac"], [0.5, 0.0, 0.0, 0.0])
+    with pytest.raises(ValueError, match="n must"):
+        repetition_stats(rd.from_pandas(docs), n=0)
