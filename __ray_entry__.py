@@ -43,6 +43,7 @@ def oracle_sql() -> dict[str, str]:
         ensure_embedding_neardup_artifacts,
         ensure_er_quality_artifacts,
         ensure_knn_ivf_artifacts,
+        ensure_knn_quantized_artifacts,
         ensure_knn_recall_artifacts,
     )
 
@@ -50,5 +51,6 @@ def oracle_sql() -> dict[str, str]:
     # same for the ANN-quality and near-dup-recall gates' artifacts
     ensure_knn_recall_artifacts()
     ensure_knn_ivf_artifacts()
+    ensure_knn_quantized_artifacts()
     ensure_embedding_neardup_artifacts()
     return {name: sql for name, (_fn, sql) in CATALOG.items() if sql is not None}

@@ -2148,6 +2148,84 @@ def knn_ivf_cosine(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+# ---- quantized ANN variant: same recall-gate pattern, storage path ----
+_QKNN_PICKS = f"{_FIXTURE_BASE}/knn_quantized_picks.parquet"
+_QKNN_MANIFEST = f"{_FIXTURE_BASE}/knn_quantized_picks.manifest.json"
+
+
+def _qknn_fingerprint() -> str:
+    return f"{_pkg_fingerprint()}:k{_KNN_K}:int8:emb{_file_fingerprint(_KNN_EMB)}"
+
+
+def ensure_knn_quantized_artifacts() -> None:
+    """Idempotent: run the int8-quantized exact scan (stages/similarity
+    :: knn_quantized) over the fixed embeddings table and land its picks
+    as a fingerprinted artifact for the ``knn_quantized_recall`` oracle —
+    the knn_lsh/ivf provenance pattern applied to the storage path."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_quantized
+
+    if _manifest_fresh(_QKNN_MANIFEST, _qknn_fingerprint(), _QKNN_PICKS):
+        return
+    os.makedirs(_FIXTURE_BASE, exist_ok=True)
+    ds = rd.read_parquet(_KNN_EMB, columns=["vec_id", "embedding"])
+    picks = (
+        knn_quantized(ds, _knn_queries(), k=_KNN_K)
+        .to_pandas()[["query_idx", "vec_id"]]
+        .sort_values(["query_idx", "vec_id"])
+        .reset_index(drop=True)
+    )
+    _land_parquet(_QKNN_PICKS, picks)
+    _land_manifest(_QKNN_MANIFEST, _qknn_fingerprint())
+
+
+def knn_quantized_recall(sf_dir: str) -> pd.DataFrame:
+    """Quality gate for the int8 storage path: recall of the quantized
+    scan vs exact float top-k, DuckDB independently re-deriving the
+    exact set and the recall arithmetic from the picks artifact."""
+    from ..stages.similarity import knn_brute
+
+    ensure_knn_quantized_artifacts()
+    import pyarrow.parquet as pq
+
+    picks = pq.read_table(_QKNN_PICKS).to_pandas()
+    ds = rd.read_parquet(_KNN_EMB, columns=["vec_id", "embedding"])
+    brute = knn_brute(ds, _knn_queries(), k=_KNN_K).to_pandas()
+    bset = set(zip(brute["query_idx"], brute["vec_id"]))
+    pset = set(zip(picks["query_idx"], picks["vec_id"]))
+    hits = len(bset & pset)
+    return pd.DataFrame(
+        {
+            "n_queries": pd.Series([brute["query_idx"].nunique()], dtype="int64"),
+            "k": pd.Series([_KNN_K], dtype="int64"),
+            "n_picks": pd.Series([len(pset)], dtype="int64"),
+            "hits": pd.Series([hits], dtype="int64"),
+            "recall": pd.Series([round(hits / len(bset), 6)], dtype="float64"),
+        }
+    )
+
+
+KNN_QUANTIZED_RECALL_SQL = f"""
+WITH {KNN_BRUTE_CTES},
+picks AS (SELECT query_idx, vec_id FROM read_parquet('{_QKNN_PICKS}')),
+m AS (
+  SELECT (SELECT count(DISTINCT query_idx) FROM brute) AS n_queries,
+         (SELECT count(*) FROM brute) AS n_brute,
+         (SELECT count(*) FROM picks) AS n_picks,
+         (SELECT count(*) FROM picks p
+            JOIN brute b ON p.query_idx = b.query_idx
+                        AND p.vec_id = b.vec_id) AS hits
+)
+SELECT CAST(n_queries AS BIGINT) AS n_queries,
+       CAST({_KNN_K} AS BIGINT) AS k,
+       CAST(n_picks AS BIGINT) AS n_picks,
+       CAST(hits AS BIGINT) AS hits,
+       round(CAST(hits AS DOUBLE) / n_brute, 6) AS recall
+FROM m
+"""
+
+
 # ---- embedding near-dup quality gate (planted-dup fixture) ----
 _EMBND_FIX = f"{_FIXTURE_BASE}/embnd_fixture.parquet"
 _EMBND_PAIRS = f"{_FIXTURE_BASE}/embnd_lsh_pairs.parquet"
@@ -2599,6 +2677,8 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     # IVF ANN scale path — picks rows-only, recall hash-gated via SQL
     "knn_ivf_cosine": (knn_ivf_cosine, None),
     "knn_ivf_recall": (knn_ivf_recall, KNN_IVF_RECALL_SQL),
+    # int8 storage-path scan — recall hash-gated via SQL
+    "knn_quantized_recall": (knn_quantized_recall, KNN_QUANTIZED_RECALL_SQL),
     "embedding_neardup_pairs": (embedding_neardup_pairs, None),
     "embedding_neardup_recall": (embedding_neardup_recall, EMBND_RECALL_SQL),
     # exact all-pairs cosine join — full SQL oracle (list_cosine_similarity)

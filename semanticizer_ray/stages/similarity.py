@@ -278,3 +278,46 @@ def knn_lsh(
         return group.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
 
     return partial.groupby("query_idx").map_groups(final_topk, batch_format="pandas")
+
+
+def knn_quantized(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Exact-scan top-k over int8-QUANTIZED vectors (the storage path:
+    a 4×-smaller index scanned at memory-bandwidth; recall vs the
+    float path measured by the ``knn_quantized_recall`` gate). Each
+    batch quantizes (``stages/quantize`` semantics: symmetric scale,
+    round-half-up) and scores the RECONSTRUCTION ``codes * scale`` —
+    exactly what a stored int8 index would return. Same output schema
+    as ``knn_brute``."""
+    qn = _normalize_rows(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, V = _ids_and_vecs(batch, id_col, vec_col)
+            if len(ids) == 0:
+                return _topk_table(np.empty((0, 0)), ids, k, id_col)
+            amax = np.abs(V).max(axis=1)
+            scale = amax / 127.0
+            safe = np.where(scale > 0, scale, 1.0)
+            codes = np.clip(np.floor(V / safe[:, None] + 0.5), -127, 127)
+            recon = codes * scale[:, None]
+            C = self.q @ _normalize_rows(recon).T
+            return _topk_table(C, ids, k, id_col)
+
+    partial = ds.map_batches(
+        Score, batch_format="pyarrow", batch_size=8192, concurrency=(1, 4), num_cpus=1
+    )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+
+    return partial.groupby("query_idx").map_groups(final_topk, batch_format="pandas")

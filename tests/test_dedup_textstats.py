@@ -776,3 +776,38 @@ def test_repetition_stats_hand_computed(ray_session):
     np.testing.assert_allclose(out["dup_frac"], [0.5, 0.0, 0.0, 0.0])
     with pytest.raises(ValueError, match="n must"):
         repetition_stats(rd.from_pandas(docs), n=0)
+
+
+def test_knn_quantized_recall_gate_and_fresh_corpus(ray_session):
+    """The int8 storage-path scan: gate hash-matches its SQL oracle and
+    recall is 1.0 on the fixed fixture; on a fresh clustered corpus the
+    quantized scan's top-k matches the float scan (int8 error ≪ typical
+    neighbor gaps)."""
+    import duckdb
+
+    from semanticizer_ray.pipelines.catalog import (
+        KNN_QUANTIZED_RECALL_SQL,
+        knn_quantized_recall,
+    )
+    from semanticizer_ray.stages.similarity import knn_brute, knn_quantized
+
+    got = knn_quantized_recall("unused")
+    want = duckdb.sql(KNN_QUANTIZED_RECALL_SQL).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["recall"].iloc[0] == 1.0
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(29)
+    centers = rng.standard_normal((6, 16)) * 4
+    V = np.vstack([c + rng.standard_normal((120, 16)) for c in centers])
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(V), dtype=np.int64), "embedding": list(map(list, V))}
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    Q = V[rng.choice(len(V), 4, replace=False)]
+    b = knn_brute(ds, Q, k=5).to_pandas()
+    q = knn_quantized(ds, Q, k=5).to_pandas()
+    bset = set(zip(b.query_idx, b.vec_id))
+    qset = set(zip(q.query_idx, q.vec_id))
+    assert len(bset & qset) / len(bset) >= 0.9
