@@ -822,6 +822,32 @@ ORDER BY d.doc_id
 """
 
 
+def doc_pii_stats(sf_dir: str) -> pd.DataFrame:
+    """PII triage counts per document (stages/filters.py :: pii_stats) —
+    email / URL / phone regex hits; patterns chosen for exact Python-re ↔
+    RE2 behavioral parity."""
+    from ..stages.filters import pii_stats
+
+    ds = read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = pii_stats(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _pii_sql() -> str:
+    from ..stages.filters import PII_EMAIL, PII_PHONE, PII_URL
+
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_URL}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones
+FROM documents ORDER BY doc_id
+"""
+
+
+DOC_PII_SQL = _pii_sql()
+
+
 def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import exact_dedup
 
@@ -2653,6 +2679,8 @@ CATALOG: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "embedding_quantized": (embedding_quantized, EMBEDDING_QUANTIZED_SQL),
     # Gopher/C4-style within-doc repetition quality signal
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
+    # PII triage counts (email/URL/phone) — RE2-parity patterns
+    "doc_pii_stats": (doc_pii_stats, DOC_PII_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "knn_cosine": (knn_cosine, KNN_SQL),
     "components_supplier_part": (components_supplier_part, COMPONENTS_SQL),

@@ -154,3 +154,41 @@ def stratified_sample(
         return df[h < thr]
 
     return ds.map_batches(pick, batch_format="pandas")
+
+
+# PII-detection patterns, chosen to behave identically under Python re
+# and RE2 (DuckDB's regexp engine): no alternation or backtracking
+# constructs where leftmost-longest vs leftmost-greedy semantics could
+# diverge; parity spot-checked in tests over edge strings.
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_PHONE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def pii_stats(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """(doc_id, n_emails, n_urls, n_phones) per document — the standard
+    pre-training PII triage pass (count first, route heavy redaction only
+    at matching docs). One shuffle-free stateless ``map_batches`` with
+    per-worker-compiled patterns; all-integer output, hash-gate-safe."""
+    import numpy as np
+
+    pats = [re.compile(p) for p in (PII_EMAIL, PII_URL, PII_PHONE)]
+    names = ["n_emails", "n_urls", "n_phones"]
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        cols = {id_col: batch[id_col]}
+        for pat, name in zip(pats, names):
+            cols[name] = pa.array(
+                np.fromiter(
+                    (len(pat.findall(t or "")) for t in texts),
+                    dtype=np.int64,
+                    count=len(texts),
+                ),
+                pa.int64(),
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")

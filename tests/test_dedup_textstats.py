@@ -811,3 +811,52 @@ def test_knn_quantized_recall_gate_and_fresh_corpus(ray_session):
     bset = set(zip(b.query_idx, b.vec_id))
     qset = set(zip(q.query_idx, q.vec_id))
     assert len(bset & qset) / len(bset) >= 0.9
+
+
+def test_pii_stats_hand_computed_and_re2_parity(ray_session):
+    """Hand-counted PII hits plus Python-re ↔ DuckDB-RE2 parity over
+    edge strings (the oracle depends on the engines agreeing)."""
+    import duckdb
+    import ray.data as rd
+
+    from semanticizer_ray.stages.filters import (
+        PII_EMAIL,
+        PII_PHONE,
+        PII_URL,
+        pii_stats,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series([0, 1, 2, 3], dtype="int64"),
+            "text": [
+                "mail a.b%c@ex-ample.co.uk, see https://x.io/p?q=1",
+                "call +1 (555) 123-4567 or 0044-555-666777",
+                "bad@.com edge@x. no matches http//nope",
+                None,
+            ],
+        }
+    )
+    out = (
+        pii_stats(rd.from_pandas(docs).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_emails"]) == [1, 0, 0, 0]
+    assert list(out["n_urls"]) == [1, 0, 0, 0]
+    assert list(out["n_phones"]) == [0, 2, 0, 0]
+
+    con = duckdb.connect()
+    for t in docs["text"].dropna():
+        import re as _re
+
+        py = [
+            len(_re.findall(p, t)) for p in (PII_EMAIL, PII_URL, PII_PHONE)
+        ]
+        sql = con.execute(
+            "SELECT len(regexp_extract_all(?, ?)), len(regexp_extract_all(?, ?)),"
+            " len(regexp_extract_all(?, ?))",
+            [t, PII_EMAIL, t, PII_URL, t, PII_PHONE],
+        ).fetchone()
+        assert py == list(sql), t
